@@ -1,0 +1,450 @@
+"""OCTAve segmentor family: attention-gated ResNeSt U-Nets (TPU-native).
+
+Re-designed from /root/reference/architectures/segmentor/compose.py and
+blocks.py:12-46 as NHWC Flax modules. All tensors are NHWC; the attention
+pyramid is returned finest-first exactly like the reference
+(compose.py:183-187).
+
+Parity map:
+  * AdversarialAttentionGate    blocks.py:12-46    → AdversarialAttentionGate
+  * ResnestUNet                 compose.py:12-230  → ResnestUNet
+  * ResnestUnetParallelHead     compose.py:233-362 → ResnestUnetParallelHead
+  * ResnestUnetParallelHeadAttentionGate
+                                compose.py:365-527 → ResnestUnetParallelHeadAttentionGate
+
+The odd-size pad/crop dance on x_3 (compose.py:125-147) is static here: input
+sizes are compile-time constants under jit, so the pad decision resolves at
+trace time (both 304² → 19 and 400² → 25 hit it).
+"""
+from __future__ import annotations
+
+from typing import Literal, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from octave_tpu.models.resnest import (
+    Conv,
+    ResNeSt,
+    ResNestDecoder,
+    Upsampling,
+    resnest50,
+)
+from octave_tpu.ops.common import adaptive_avg_pool2d
+from octave_tpu.ops.norm import BatchNorm
+
+
+class AdversarialAttentionGate(nn.Module):
+    """AAG (blocks.py:12-46): 1x1 conv → per-pixel softmax over classes →
+    attention mask = sum of non-background channels → hadamard with input.
+
+    Returns (masked_x, y_hat)."""
+
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        x_prime = Conv(self.out_channels, 1, 1, 0, name="conv1")(x)
+        y_hat = jax.nn.softmax(x_prime, axis=-1)
+        attention_mask = jnp.sum(y_hat[..., 1:], axis=-1, keepdims=True)
+        return x * attention_mask, y_hat
+
+
+class _EncoderGate(nn.Module):
+    """Optional per-encoder-level softmax gating head (compose.py:28-37)."""
+
+    out_channels: int = 16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        g = Conv(self.out_channels, 1, 1, 0, name="conv")(x)
+        return jax.nn.softmax(g, axis=-1)
+
+
+def _pad_odd(x: jax.Array) -> Tuple[jax.Array, bool, bool]:
+    """Static pad of odd H/W to even (compose.py:125-130)."""
+    down = x.shape[1] % 2 == 1
+    right = x.shape[2] % 2 == 1
+    if down:
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    if right:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    return x, down, right
+
+
+def _crop_pad(d: jax.Array, down: bool, right: bool) -> jax.Array:
+    """Crop the pad back off after the skip concat (compose.py:142-147)."""
+    if down and not right:
+        return d[:, :-1, :, :]
+    if right and not down:
+        return d[:, :, :-1, :]
+    if down and right:
+        return d[:, :-1, :-1, :]
+    return d
+
+
+def apply_prediction_method(agg_map: jax.Array, method: str, axis: int = -1) -> jax.Array:
+    """The predict() post-processing switch (compose.py:189-199)."""
+    if method == "softmax":
+        return jax.nn.softmax(agg_map, axis=axis)
+    if method == "sigmoid":
+        return jax.nn.sigmoid(agg_map)
+    if method == "one-hot":
+        c = agg_map.shape[axis]
+        return jax.nn.one_hot(jnp.argmax(agg_map, axis=axis), c, axis=axis, dtype=agg_map.dtype)
+    if method == "original":
+        return agg_map
+    raise ValueError(f"Unknown prediction method: {method}")
+
+
+class ResnestUNet(nn.Module):
+    """ResNeSt-50 encoder + attention-gated U-Net decoder (compose.py:12-230).
+
+    Channel schedule — encoder taps 64/256/512/1024/2048, decoder
+    1024/512/256/64/32, final 1x1 conv 32 → num_classes.
+    `pretrain`/`weight_path` are handled by the checkpoint tooling
+    (octave_tpu/utils/torch_convert.py), not the module.
+    """
+
+    num_classes: int
+    gating_level: int = 4
+    encoder_gating: bool = False
+    bn_axis_name: Optional[str] = None
+
+    def setup(self):
+        ax = self.bn_axis_name
+        self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax, name="backbone")
+
+        if self.encoder_gating:
+            self.encoder_0_gate = _EncoderGate(name="encoder_0_gate")
+            self.encoder_1_gate = _EncoderGate(name="encoder_1_gate")
+            self.encoder_2_gate = _EncoderGate(name="encoder_2_gate")
+            self.encoder_3_gate = _EncoderGate(name="encoder_3_gate")
+            self.encoder_4_gate = _EncoderGate(name="encoder_4_gate")
+
+        self.upsampling_0 = Upsampling(64, 64, name="upsampling_0")
+        self.decoder_0 = ResNestDecoder(64, 32, bn_axis_name=ax, name="decoder_0")
+        self.aag_0 = AdversarialAttentionGate(32, self.num_classes, name="aag_0")
+
+        self.upsampling_1 = Upsampling(256, 64, name="upsampling_1")
+        self.decoder_1 = ResNestDecoder(128, 64, bn_axis_name=ax, name="decoder_1")
+        self.aag_1 = AdversarialAttentionGate(64, self.num_classes, name="aag_1")
+
+        self.upsampling_2 = Upsampling(512, 256, name="upsampling_2")
+        self.decoder_2 = ResNestDecoder(512, 256, bn_axis_name=ax, name="decoder_2")
+        self.aag_2 = AdversarialAttentionGate(256, self.num_classes, name="aag_2")
+
+        self.upsampling_3 = Upsampling(1024, 512, name="upsampling_3")
+        self.decoder_3 = ResNestDecoder(1024, 512, bn_axis_name=ax, name="decoder_3")
+        self.aag_3 = AdversarialAttentionGate(512, self.num_classes, name="aag_3")
+
+        self.upsampling_4 = Upsampling(2048, 1024, name="upsampling_4")
+        self.decoder_4 = ResNestDecoder(2048, 1024, bn_axis_name=ax, name="decoder_4")
+        self.aag_4 = AdversarialAttentionGate(1024, self.num_classes, name="aag_4")
+
+        self.fc = Conv(self.num_classes, 1, 1, 0, name="fc")
+
+        # Classification heads (compose.py:82-98)
+        self.linear_head_emb = nn.Dense(self.num_classes, name="linear_head_emb")
+        self.head_dec_conv1 = Conv(64, 7, 1, 0, name="head_dec_conv1")
+        self.head_dec_bn1 = BatchNorm(64, axis_name=ax, name="head_dec_bn1")
+        self.head_dec_conv2 = Conv(512, 7, 1, 0, name="head_dec_conv2")
+        self.head_dec_bn2 = BatchNorm(512, axis_name=ax, name="head_dec_bn2")
+        self.linear_head_dec = nn.Dense(self.num_classes, name="linear_head_dec")
+
+    def __call__(self, x: jax.Array, train: bool = False):
+        """Forward (compose.py:100-187).
+
+        Returns (attentions finest-first, agg_map, x_4) — or with
+        encoder_gating, (g_x, attentions, agg_map, x_4)."""
+        bb = self.backbone
+        x_0_0 = bb.stem(x, train)
+        x_0_1 = bb.maxpool(x_0_0)
+
+        g_x = []
+        if self.encoder_gating:
+            g_x.append(self.encoder_0_gate(x_0_1))
+        x_1 = bb.layer1(x_0_1, train)
+        if self.encoder_gating:
+            g_x.append(self.encoder_1_gate(x_1))
+        x_2 = bb.layer2(x_1, train)
+        if self.encoder_gating:
+            g_x.append(self.encoder_2_gate(x_2))
+        x_3 = bb.layer3(x_2, train)
+        if self.encoder_gating:
+            g_x.append(self.encoder_3_gate(x_3))
+
+        x_3, down_padding, right_padding = _pad_odd(x_3)
+        x_4 = bb.layer4(x_3, train)
+        if self.encoder_gating:
+            g_x.append(self.encoder_4_gate(x_4))
+
+        attentions = []
+
+        d_4 = self.upsampling_4(x_4)
+        d_4 = jnp.concatenate((x_3, d_4), axis=-1)
+        d_4 = _crop_pad(d_4, down_padding, right_padding)
+        d_4 = self.decoder_4(d_4, train)
+        if self.gating_level >= 4:
+            d_4, y_4 = self.aag_4(d_4)
+            attentions.append(y_4)
+
+        d_3 = self.upsampling_3(d_4)
+        d_3 = jnp.concatenate((x_2, d_3), axis=-1)
+        d_3 = self.decoder_3(d_3, train)
+        if self.gating_level >= 3:
+            d_3, y_3 = self.aag_3(d_3)
+            attentions.append(y_3)
+
+        d_2 = self.upsampling_2(d_3)
+        d_2 = jnp.concatenate((x_1, d_2), axis=-1)
+        d_2 = self.decoder_2(d_2, train)
+        if self.gating_level >= 2:
+            d_2, y_2 = self.aag_2(d_2)
+            attentions.append(y_2)
+
+        d_1 = self.upsampling_1(d_2)
+        d_1 = jnp.concatenate((x_0_0, d_1), axis=-1)
+        d_1 = self.decoder_1(d_1, train)
+        if self.gating_level >= 1:
+            d_1, y_1 = self.aag_1(d_1)
+            attentions.append(y_1)
+
+        d_0 = self.upsampling_0(d_1)
+        d_0 = self.decoder_0(d_0, train)  # depth 0: no skip (compose.py:175-176)
+        if self.gating_level >= 0:
+            d_0, y_0 = self.aag_0(d_0)
+            attentions.append(y_0)
+
+        agg_map = self.fc(d_0)
+        attentions.reverse()
+
+        if self.encoder_gating:
+            return tuple(g_x), tuple(attentions), agg_map, x_4
+        return tuple(attentions), agg_map, x_4
+
+    def predict(
+        self,
+        x: jax.Array,
+        method: Literal["softmax", "one-hot", "original", "sigmoid"] = "softmax",
+        train: bool = False,
+    ):
+        """Inference post-processing (compose.py:189-199)."""
+        out = self(x, train)
+        attentions, agg_map = (out[1], out[2]) if self.encoder_gating else (out[0], out[1])
+        return attentions, apply_prediction_method(agg_map, method)
+
+    def classification_predict(
+        self,
+        x: jax.Array,
+        method: Literal["softmax", "sigmoid"],
+        mode: Literal["classic", "classic-gating", "ae-squash", "ae-extract"],
+        train: bool = False,
+    ):
+        """Classification-head inference (compose.py:201-230)."""
+        if mode == "classic-gating" and not self.encoder_gating:
+            raise ValueError(f"{mode} is not valid if `encoder_gating` is not enabled.")
+        out = self(x, train)
+        if self.encoder_gating:
+            g_x, att, predicate, latent = out
+        else:
+            att, predicate, latent = out
+
+        predicate = jax.nn.softmax(predicate, axis=-1)
+
+        if mode in ("classic", "classic-gating"):
+            emb = self.linear_head_emb(jnp.mean(latent, axis=(1, 2)))
+        elif mode == "ae-squash":
+            emb = jnp.mean(predicate, axis=(1, 2))
+        elif mode == "ae-extract":
+            h = adaptive_avg_pool2d(predicate, (32, 32))
+            h = nn.relu(self.head_dec_conv1(h))
+            h = self.head_dec_bn1(h, train)
+            h = nn.relu(self.head_dec_conv2(h))
+            h = self.head_dec_bn2(h, train)
+            emb = self.linear_head_dec(jnp.mean(h, axis=(1, 2)))
+        else:
+            raise NotImplementedError
+
+        if method == "softmax":
+            class_pred = jax.nn.softmax(emb, axis=-1)
+        elif method == "sigmoid":
+            class_pred = jax.nn.sigmoid(emb)
+        else:
+            raise NotImplementedError
+
+        if mode == "classic-gating" and self.encoder_gating:
+            return class_pred, g_x, att, predicate
+        return class_pred, att, predicate
+
+
+class ResnestUnetParallelHead(nn.Module):
+    """Dual-decoder (thick/thin) variant without gates (compose.py:233-362).
+
+    Returns stacked agg maps of shape (2, b, h, w, c)."""
+
+    num_classes: int
+    bn_axis_name: Optional[str] = None
+
+    def setup(self):
+        ax = self.bn_axis_name
+        self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax, name="backbone")
+        self.upsampling_0 = Upsampling(64, 64, name="upsampling_0")
+        self.decoder_0 = ResNestDecoder(64, 32, bn_axis_name=ax, name="decoder_0")
+        self.upsampling_1 = Upsampling(256, 64, name="upsampling_1")
+        self.decoder_1 = ResNestDecoder(128, 64, bn_axis_name=ax, name="decoder_1")
+        self.upsampling_2 = Upsampling(512, 256, name="upsampling_2")
+        self.decoder_2 = ResNestDecoder(512, 256, bn_axis_name=ax, name="decoder_2")
+        self.upsampling_3 = Upsampling(1024, 512, name="upsampling_3")
+        self.decoder_3 = ResNestDecoder(1024, 512, bn_axis_name=ax, name="decoder_3")
+        self.upsampling_4 = Upsampling(2048, 1024, name="upsampling_4")
+        self.decoder_4 = ResNestDecoder(2048, 1024, bn_axis_name=ax, name="decoder_4")
+        # Parallel branch from x_1 (compose.py:279-285)
+        self.upsampling_1_c = Upsampling(256, 64, name="upsampling_1_c")
+        self.decoder_1_c = ResNestDecoder(128, 64, bn_axis_name=ax, name="decoder_1_c")
+        self.upsampling_0_c = Upsampling(64, 64, name="upsampling_0_c")
+        self.decoder_0_c = ResNestDecoder(64, 32, bn_axis_name=ax, name="decoder_0_c")
+        self.fc = Conv(self.num_classes, 1, 1, 0, name="fc")
+        self.fc_c = Conv(self.num_classes, 1, 1, 0, name="fc_c")
+
+    def _trunk(self, x: jax.Array, train: bool):
+        bb = self.backbone
+        x_0_0 = bb.stem(x, train)
+        x_0_1 = bb.maxpool(x_0_0)
+        x_1 = bb.layer1(x_0_1, train)
+        x_2 = bb.layer2(x_1, train)
+        x_3 = bb.layer3(x_2, train)
+        x_3, down, right = _pad_odd(x_3)
+        x_4 = bb.layer4(x_3, train)
+        return x_0_0, x_1, x_2, x_3, x_4, down, right
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x_0_0, x_1, x_2, x_3, x_4, down, right = self._trunk(x, train)
+
+        d_4 = self.upsampling_4(x_4)
+        d_4 = _crop_pad(jnp.concatenate((x_3, d_4), axis=-1), down, right)
+        d_4 = self.decoder_4(d_4, train)
+        d_3 = self.upsampling_3(d_4)
+        d_3 = self.decoder_3(jnp.concatenate((x_2, d_3), axis=-1), train)
+        d_2 = self.upsampling_2(d_3)
+        d_2 = self.decoder_2(jnp.concatenate((x_1, d_2), axis=-1), train)
+        d_1 = self.upsampling_1(d_2)
+        d_1 = self.decoder_1(jnp.concatenate((x_0_0, d_1), axis=-1), train)
+        d_0 = self.decoder_0(self.upsampling_0(d_1), train)
+
+        d_1_c = self.upsampling_1_c(x_1)
+        d_1_c = self.decoder_1_c(jnp.concatenate((x_0_0, d_1_c), axis=-1), train)
+        d_0_c = self.decoder_0_c(self.upsampling_0_c(d_1_c), train)
+
+        agg_map = self.fc(d_0)
+        agg_map_c = self.fc_c(d_0_c)
+        return jnp.stack([agg_map, agg_map_c], axis=0)  # (k, b, h, w, c)
+
+    def predict(self, x: jax.Array, method: str = "softmax", train: bool = False):
+        agg_map = self(x, train)
+        return apply_prediction_method(agg_map, method)
+
+
+class ResnestUnetParallelHeadAttentionGate(nn.Module):
+    """Dual-decoder variant with AAGs (compose.py:365-527).
+
+    Note the reference's depth-4 gate condition here is `> 3` (strict),
+    unlike ResnestUNet's `>= 4` — same threshold, preserved.
+    Constructor arg spelled `gating_leveL` in the reference; we accept the
+    corrected spelling."""
+
+    num_classes: int
+    gating_level: int = 3
+    bn_axis_name: Optional[str] = None
+
+    def setup(self):
+        ax = self.bn_axis_name
+        self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax, name="backbone")
+        self.upsampling_0 = Upsampling(64, 64, name="upsampling_0")
+        self.decoder_0 = ResNestDecoder(64, 32, bn_axis_name=ax, name="decoder_0")
+        self.aag_0 = AdversarialAttentionGate(32, self.num_classes, name="aag_0")
+        self.upsampling_1 = Upsampling(256, 64, name="upsampling_1")
+        self.decoder_1 = ResNestDecoder(128, 64, bn_axis_name=ax, name="decoder_1")
+        self.aag_1 = AdversarialAttentionGate(64, self.num_classes, name="aag_1")
+        self.upsampling_2 = Upsampling(512, 256, name="upsampling_2")
+        self.decoder_2 = ResNestDecoder(512, 256, bn_axis_name=ax, name="decoder_2")
+        self.aag_2 = AdversarialAttentionGate(256, self.num_classes, name="aag_2")
+        self.upsampling_3 = Upsampling(1024, 512, name="upsampling_3")
+        self.decoder_3 = ResNestDecoder(1024, 512, bn_axis_name=ax, name="decoder_3")
+        self.aag_3 = AdversarialAttentionGate(512, self.num_classes, name="aag_3")
+        self.upsampling_4 = Upsampling(2048, 1024, name="upsampling_4")
+        self.decoder_4 = ResNestDecoder(2048, 1024, bn_axis_name=ax, name="decoder_4")
+        self.aag_4 = AdversarialAttentionGate(1024, self.num_classes, name="aag_4")
+        self.upsampling_1_c = Upsampling(256, 64, name="upsampling_1_c")
+        self.decoder_1_c = ResNestDecoder(128, 64, bn_axis_name=ax, name="decoder_1_c")
+        self.aag_1_c = AdversarialAttentionGate(64, self.num_classes, name="aag_1_c")
+        self.upsampling_0_c = Upsampling(64, 64, name="upsampling_0_c")
+        self.decoder_0_c = ResNestDecoder(64, 32, bn_axis_name=ax, name="decoder_0_c")
+        self.aag_0_c = AdversarialAttentionGate(32, self.num_classes, name="aag_0_c")
+        self.fc = Conv(self.num_classes, 1, 1, 0, name="fc")
+        self.fc_c = Conv(self.num_classes, 1, 1, 0, name="fc_c")
+
+    def __call__(self, x: jax.Array, train: bool = False):
+        bb = self.backbone
+        x_0_0 = bb.stem(x, train)
+        x_0_1 = bb.maxpool(x_0_0)
+        x_1 = bb.layer1(x_0_1, train)
+        x_2 = bb.layer2(x_1, train)
+        x_3 = bb.layer3(x_2, train)
+        x_3, down, right = _pad_odd(x_3)
+        x_4 = bb.layer4(x_3, train)
+
+        attentions, attentions_c = [], []
+
+        d_4 = self.upsampling_4(x_4)
+        d_4 = _crop_pad(jnp.concatenate((x_3, d_4), axis=-1), down, right)
+        d_4 = self.decoder_4(d_4, train)
+        if self.gating_level > 3:  # strict, compose.py:466
+            d_4, y_4 = self.aag_4(d_4)
+            attentions.append(y_4)
+
+        d_3 = self.upsampling_3(d_4)
+        d_3 = self.decoder_3(jnp.concatenate((x_2, d_3), axis=-1), train)
+        if self.gating_level >= 3:
+            d_3, y_3 = self.aag_3(d_3)
+            attentions.append(y_3)
+
+        d_2 = self.upsampling_2(d_3)
+        d_2 = self.decoder_2(jnp.concatenate((x_1, d_2), axis=-1), train)
+        if self.gating_level >= 2:
+            d_2, y_2 = self.aag_2(d_2)
+            attentions.append(y_2)
+
+        d_1 = self.upsampling_1(d_2)
+        d_1 = self.decoder_1(jnp.concatenate((x_0_0, d_1), axis=-1), train)
+        if self.gating_level >= 1:
+            d_1, y_1 = self.aag_1(d_1)
+            attentions.append(y_1)
+
+        d_0 = self.decoder_0(self.upsampling_0(d_1), train)
+        if self.gating_level >= 0:
+            d_0, y_0 = self.aag_0(d_0)
+            attentions.append(y_0)
+
+        d_1_c = self.upsampling_1_c(x_1)
+        d_1_c = self.decoder_1_c(jnp.concatenate((x_0_0, d_1_c), axis=-1), train)
+        if self.gating_level >= 1:
+            d_1_c, y_1_c = self.aag_1_c(d_1_c)
+            attentions_c.append(y_1_c)
+
+        d_0_c = self.decoder_0_c(self.upsampling_0_c(d_1_c), train)
+        if self.gating_level >= 0:
+            d_0_c, y_0_c = self.aag_0_c(d_0_c)
+            attentions_c.append(y_0_c)
+
+        attentions.reverse()
+        attentions_c.reverse()
+        agg_map = self.fc(d_0)
+        agg_map_c = self.fc_c(d_0_c)
+        return (tuple(attentions), tuple(attentions_c)), jnp.stack([agg_map, agg_map_c], axis=0)
+
+    def predict(self, x: jax.Array, method: str = "softmax", train: bool = False):
+        attentions, agg_map = self(x, train)
+        return attentions, apply_prediction_method(agg_map, method)

@@ -1,0 +1,300 @@
+"""PyTorch checkpoint → octave-tpu pytree conversion.
+
+Maps the reference's torch state_dicts (ResNeSt-50 `resnest50-528c19ca.pth`
+per reference README.md:25, plus full ResnestUNet / DiscriminatorBlock /
+OctaScribbleNet dumps) onto this framework's Flax variable trees.
+
+Layout transforms:
+  * Conv2d weight (O, I/g, kh, kw)          → HWIO (kh, kw, I/g, O)
+  * ConvTranspose2d weight (I, O, kh, kw)   → kept as-is (see
+    octave_tpu.ops.common.conv_transpose_2x2)
+  * Linear weight (O, I)                    → (I, O)
+  * BatchNorm weight/bias/running_mean/var  → scale/bias + batch_stats
+  * spectral_norm weight_orig/u/v           → kernel + 'spectral' collection
+
+All inputs are numpy arrays (call `load_torch_state_dict` to read a .pth with
+a lazy torch import), so the module itself stays torch-free.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+Array = np.ndarray
+FlatTree = Dict[Tuple[str, ...], Array]
+
+
+def _j(prefix: str, sub: str) -> str:
+    """Join torch module names, tolerating an empty prefix."""
+    return sub if not prefix else f"{prefix}.{sub}"
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Array]:
+    """Read a .pth state_dict into numpy (lazy torch import)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: v.detach().cpu().numpy() for k, v in sd.items() if hasattr(v, "detach")}
+
+
+def _conv_w(w: Array) -> Array:
+    return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _dense_w(w: Array) -> Array:
+    return np.transpose(w, (1, 0))
+
+
+class _TreeBuilder:
+    def __init__(self, sd: Mapping[str, Array], prefix: str = ""):
+        self.sd = sd
+        self.prefix = prefix
+        self.params: FlatTree = {}
+        self.stats: FlatTree = {}
+        self.spectral: FlatTree = {}
+        self.used: set = set()
+
+    def _get(self, key: str) -> Array:
+        full = self.prefix + key
+        self.used.add(full)
+        return self.sd[full]
+
+    def has(self, key: str) -> bool:
+        return (self.prefix + key) in self.sd
+
+    def conv(self, tkey: str, fpath: Tuple[str, ...], bias: bool | None = None):
+        """tkey: torch module name; fpath: flax path of the nn.Conv."""
+        self.params[fpath + ("kernel",)] = _conv_w(self._get(_j(tkey, "weight")))
+        if bias is None:
+            bias = self.has(_j(tkey, "bias"))
+        if bias:
+            self.params[fpath + ("bias",)] = self._get(_j(tkey, "bias"))
+
+    def bn(self, tkey: str, fpath: Tuple[str, ...]):
+        self.params[fpath + ("scale",)] = self._get(_j(tkey, "weight"))
+        self.params[fpath + ("bias",)] = self._get(_j(tkey, "bias"))
+        self.stats[fpath + ("mean",)] = self._get(_j(tkey, "running_mean"))
+        self.stats[fpath + ("var",)] = self._get(_j(tkey, "running_var"))
+
+    def dense(self, tkey: str, fpath: Tuple[str, ...]):
+        self.params[fpath + ("kernel",)] = _dense_w(self._get(_j(tkey, "weight")))
+        if self.has(_j(tkey, "bias")):
+            self.params[fpath + ("bias",)] = self._get(_j(tkey, "bias"))
+
+    def conv_transpose(self, tkey: str, fpath: Tuple[str, ...]):
+        self.params[fpath + ("kernel",)] = self._get(_j(tkey, "weight"))
+        self.params[fpath + ("bias",)] = self._get(_j(tkey, "bias"))
+
+    def spectral_conv(self, tkey: str, fpath: Tuple[str, ...]):
+        """torch spectral_norm: weight_orig + weight_u (+ weight_v)."""
+        self.params[fpath + ("kernel",)] = _conv_w(self._get(_j(tkey, "weight_orig")))
+        self.params[fpath + ("bias",)] = self._get(_j(tkey, "bias"))
+        self.spectral[fpath + ("u",)] = self._get(_j(tkey, "weight_u"))
+        if self.has(_j(tkey, "weight_v")):
+            self.spectral[fpath + ("v",)] = self._get(_j(tkey, "weight_v"))
+
+    def splat(self, tkey: str, fpath: Tuple[str, ...]):
+        """SplAtConv2d: conv/bn0/fc1/bn1/fc2 (resnest.py:83-92)."""
+        self.conv(_j(tkey, "conv"), fpath + ("conv", "conv"))
+        self.bn(_j(tkey, "bn0"), fpath + ("bn0",))
+        self.conv(_j(tkey, "fc1"), fpath + ("fc1", "conv"))
+        self.bn(_j(tkey, "bn1"), fpath + ("bn1",))
+        self.conv(_j(tkey, "fc2"), fpath + ("fc2", "conv"))
+
+    def bottleneck(self, tkey: str, fpath: Tuple[str, ...], radix: int = 2):
+        self.conv(_j(tkey, "conv1"), fpath + ("conv1", "conv"))
+        self.bn(_j(tkey, "bn1"), fpath + ("bn1",))
+        if radix > 1:
+            self.splat(_j(tkey, "conv2"), fpath + ("conv2",))
+        else:
+            self.conv(_j(tkey, "conv2"), fpath + ("conv2", "conv"))
+            self.bn(_j(tkey, "bn2"), fpath + ("bn2",))
+        self.conv(_j(tkey, "conv3"), fpath + ("conv3", "conv"))
+        self.bn(_j(tkey, "bn3"), fpath + ("bn3",))
+        # downsample: avg_down → [AvgPool, Conv, BN] (indices 0,1,2); plain →
+        # [Conv, BN] (0,1) (resnest.py:380-394)
+        if self.has(_j(tkey, "downsample.1.weight")) and self.has(_j(tkey, "downsample.2.weight")):
+            self.conv(_j(tkey, "downsample.1"), fpath + ("downsample_conv", "conv"))
+            self.bn(_j(tkey, "downsample.2"), fpath + ("downsample_bn",))
+        elif self.has(_j(tkey, "downsample.0.weight")):
+            self.conv(_j(tkey, "downsample.0"), fpath + ("downsample_conv", "conv"))
+            self.bn(_j(tkey, "downsample.1"), fpath + ("downsample_bn",))
+
+    def resnest_backbone(
+        self, fprefix: Tuple[str, ...], layers=(3, 4, 6, 3), deep_stem: bool = True,
+        with_fc: bool = False,
+    ):
+        """Backbone body: torch keys conv1.*/bn1/layerL.B.* → flax
+        stem_*/bn1/layer{L}_{B}."""
+        if deep_stem:
+            self.conv("conv1.0", fprefix + ("stem_conv1", "conv"))
+            self.bn("conv1.1", fprefix + ("stem_bn1",))
+            self.conv("conv1.3", fprefix + ("stem_conv2", "conv"))
+            self.bn("conv1.4", fprefix + ("stem_bn2",))
+            self.conv("conv1.6", fprefix + ("stem_conv3", "conv"))
+        else:
+            self.conv("conv1", fprefix + ("stem_conv1", "conv"))
+        self.bn("bn1", fprefix + ("bn1",))
+        for li, blocks in enumerate(layers):
+            for bi in range(blocks):
+                self.bottleneck(f"layer{li + 1}.{bi}", fprefix + (f"layer{li + 1}_{bi}",))
+        if with_fc:
+            self.dense("fc", fprefix + ("fc",))
+
+    def decoder(self, tkey: str, fpath: Tuple[str, ...]):
+        """ResNestDecoder: conv.[0 conv,1 bn,3 splat] + downsample.[0 conv,1 bn]
+        (resnest.py:18-43)."""
+        self.conv(_j(tkey, "conv.0"), fpath + ("conv1", "conv"))
+        self.bn(_j(tkey, "conv.1"), fpath + ("bn1",))
+        self.splat(_j(tkey, "conv.3"), fpath + ("splat",))
+        self.conv(_j(tkey, "downsample.0"), fpath + ("downsample_conv", "conv"))
+        self.bn(_j(tkey, "downsample.1"), fpath + ("downsample_bn",))
+
+    def finish(self) -> Dict[str, Any]:
+        from flax.traverse_util import unflatten_dict
+
+        out: Dict[str, Any] = {"params": unflatten_dict(self.params)}
+        if self.stats:
+            out["batch_stats"] = unflatten_dict(self.stats)
+        if self.spectral:
+            out["spectral"] = unflatten_dict(self.spectral)
+        return out
+
+
+def convert_resnest50(sd: Mapping[str, Array], with_fc: bool = True) -> Dict[str, Any]:
+    """resnest50 .pth state_dict → ResNeSt variable tree."""
+    b = _TreeBuilder(sd)
+    b.resnest_backbone((), with_fc=with_fc)
+    return b.finish()
+
+
+def _unet_rename(sd: Mapping[str, Array]) -> Dict[str, Array]:
+    """ResnestUNet torch keys → backbone-style keys for the encoder pieces.
+
+    encoder_0_1_2.0.X → conv1.X ; encoder_0_1_2.1 → bn1 ; encoder_i → layer{i}
+    (compose.py:40-77 slices the resnest into these attributes)."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("encoder_0_1_2.0."):
+            out["conv1." + k[len("encoder_0_1_2.0."):]] = v
+        elif k.startswith("encoder_0_1_2.1."):
+            out["bn1." + k[len("encoder_0_1_2.1."):]] = v
+        elif k.startswith("encoder_1."):
+            out["layer1." + k[len("encoder_1."):]] = v
+        elif k.startswith("encoder_2."):
+            out["layer2." + k[len("encoder_2."):]] = v
+        elif k.startswith("encoder_3."):
+            out["layer3." + k[len("encoder_3."):]] = v
+        elif k.startswith("encoder_4."):
+            out["layer4." + k[len("encoder_4."):]] = v
+        else:
+            out[k] = v
+    return out
+
+
+def convert_resnest_unet(
+    sd: Mapping[str, Array],
+    gating_level: int = 4,
+    encoder_gating: bool = False,
+    parallel_head: bool = False,
+    parallel_gates: bool = False,
+) -> Dict[str, Any]:
+    """ResnestUNet (or ParallelHead variant) torch state_dict → variables."""
+    sd = _unet_rename(sd)
+    b = _TreeBuilder(sd)
+    b.resnest_backbone(("backbone",))
+
+    depths = range(5)
+    for i in depths:
+        b.conv_transpose(f"upsampling_{i}.up", (f"upsampling_{i}",))
+        b.decoder(f"decoder_{i}", (f"decoder_{i}",))
+        if b.has(f"aag_{i}.conv1.weight"):
+            b.conv(f"aag_{i}.conv1", (f"aag_{i}", "conv1", "conv"))
+    b.conv("fc", ("fc", "conv"))
+
+    if parallel_head or parallel_gates:
+        for i in (0, 1):
+            b.conv_transpose(f"upsampling_{i}_c.up", (f"upsampling_{i}_c",))
+            b.decoder(f"decoder_{i}_c", (f"decoder_{i}_c",))
+            if b.has(f"aag_{i}_c.conv1.weight"):
+                b.conv(f"aag_{i}_c.conv1", (f"aag_{i}_c", "conv1", "conv"))
+        b.conv("fc_c", ("fc_c", "conv"))
+
+    if encoder_gating:
+        for i in range(5):
+            b.conv(f"encoder_{i}_gate.0", (f"encoder_{i}_gate", "conv", "conv"))
+
+    # classification heads (compose.py:82-98); optional in dumps
+    if b.has("linear_head_emb.1.weight"):
+        b.dense("linear_head_emb.1", ("linear_head_emb",))
+    if b.has("linear_head_dec.1.weight"):
+        b.conv("linear_head_dec.1", ("head_dec_conv1", "conv"))
+        b.bn("linear_head_dec.3", ("head_dec_bn1",))
+        b.conv("linear_head_dec.4", ("head_dec_conv2", "conv"))
+        b.bn("linear_head_dec.6", ("head_dec_bn2",))
+        b.dense("linear_head_dec.8", ("linear_head_dec",))
+    return b.finish()
+
+
+def convert_discriminator(
+    sd: Mapping[str, Array], depth: int = 4, instance_noise: bool = True
+) -> Dict[str, Any]:
+    """DiscriminatorBlock torch state_dict → variables
+    (discriminator/blocks.py:34-79)."""
+    b = _TreeBuilder(sd)
+    conv0_idx = 1 if instance_noise else 0
+    b.conv(f"stack_0.{conv0_idx}", ("conv_0",))
+    for i in range(depth):
+        b.conv(f"squeeze_dict.squeeze_{i}.0", (f"squeeze_{i}",))
+        b.spectral_conv(f"spectral_dict.spectral_{i}.0", (f"spectral_{i}",))
+    b.conv("out.0", ("out_conv",))
+    return b.finish()
+
+
+def convert_octa_scribble_net(
+    sd: Mapping[str, Array],
+    gating_level: int = 4,
+    encoder_gating: bool = False,
+    discriminator_depth: int = 4,
+    instance_noise: bool = True,
+) -> Dict[str, Any]:
+    """Full OctaScribbleNet torch dump → facade variables."""
+    seg_sd = {k[len("segmentor."):]: v for k, v in sd.items() if k.startswith("segmentor.")}
+    seg = convert_resnest_unet(seg_sd, gating_level, encoder_gating)
+    out: Dict[str, Any] = {"params": {"segmentor": seg["params"]}}
+    if "batch_stats" in seg:
+        out["batch_stats"] = {"segmentor": seg["batch_stats"]}
+    if discriminator_depth > 0 and any(k.startswith("discriminator.") for k in sd):
+        disc_sd = {
+            k[len("discriminator."):]: v for k, v in sd.items() if k.startswith("discriminator.")
+        }
+        disc = convert_discriminator(disc_sd, discriminator_depth, instance_noise)
+        out["params"]["discriminator"] = disc["params"]
+        if "spectral" in disc:
+            out["spectral"] = {"discriminator": disc["spectral"]}
+    return out
+
+
+def merge_variables(init_vars: Dict[str, Any], converted: Dict[str, Any]) -> Dict[str, Any]:
+    """Overlay converted leaves onto an init() tree (keeps leaves the torch
+    dump doesn't cover, e.g. lazily-initialized heads), with shape checks."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    out = {}
+    for col, tree in init_vars.items():
+        flat = dict(flatten_dict(tree))
+        conv = flatten_dict(converted.get(col, {})) if col in converted else {}
+        for path, val in conv.items():
+            if path in flat and flat[path].shape != val.shape:
+                raise ValueError(f"Shape mismatch at {col}/{'/'.join(path)}: "
+                                 f"{flat[path].shape} vs {val.shape}")
+            flat[path] = val
+        out[col] = unflatten_dict(flat)
+    for col in converted:
+        if col not in out:
+            out[col] = converted[col]
+    return out

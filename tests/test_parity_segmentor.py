@@ -1,0 +1,198 @@
+"""Runtime parity vs the torch reference for the segmentor family and the
+discriminator. 112² input exercises the odd-size pad/crop path
+(112/16 = 7 → pad to 8, compose.py:125-147), same code path as 304² and 400²."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from octave_tpu.models.discriminator import DiscriminatorBlock
+from octave_tpu.models.segmentor import (
+    AdversarialAttentionGate,
+    ResnestUNet,
+    ResnestUnetParallelHead,
+)
+from octave_tpu.utils.torch_convert import (
+    _TreeBuilder,
+    convert_discriminator,
+    convert_resnest_unet,
+    merge_variables,
+)
+
+
+def _sd_numpy(module):
+    return {k: v.detach().cpu().numpy().copy() for k, v in module.state_dict().items()}
+
+
+def _max_err(a, b):
+    return float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+
+
+def _nchw(x):
+    return np.asarray(x).transpose(0, 3, 1, 2)
+
+
+class TestAAG:
+    def test_parity(self, torch_reference, rng):
+        torch = torch_reference
+        from architectures.segmentor.blocks import AdversarialAttentionGate as TorchAAG
+
+        tm = TorchAAG(8, 3)
+        tm.eval()
+        x = rng.standard_normal((2, 8, 10, 10), dtype=np.float32)
+        with torch.no_grad():
+            t_masked, t_yhat = tm(torch.from_numpy(x))
+
+        b = _TreeBuilder(_sd_numpy(tm))
+        b.conv("conv1", ("conv1", "conv"))
+        variables = b.finish()
+
+        jm = AdversarialAttentionGate(8, 3)
+        xj = jnp.asarray(x).transpose(0, 2, 3, 1)
+        variables = merge_variables(jm.init(jax.random.PRNGKey(0), xj), variables)
+        j_masked, j_yhat = jm.apply(variables, xj)
+        assert _max_err(t_masked.numpy(), _nchw(j_masked)) < 1e-5
+        assert _max_err(t_yhat.numpy(), _nchw(j_yhat)) < 1e-5
+
+
+@pytest.mark.slow
+class TestResnestUNetParity:
+    def test_forward_parity_oddpad(self, torch_reference, rng):
+        torch = torch_reference
+        from architectures.segmentor.compose import ResnestUNet as TorchUNet
+
+        tm = TorchUNet(num_classes=2, pretrain=False, gating_level=4)
+        tm.eval()
+        x = rng.standard_normal((1, 3, 112, 112), dtype=np.float32)
+        with torch.no_grad():
+            t_atts, t_agg, t_x4 = tm(torch.from_numpy(x))
+
+        variables = convert_resnest_unet(_sd_numpy(tm))
+        jm = ResnestUNet(num_classes=2, gating_level=4)
+        xj = jnp.asarray(x).transpose(0, 2, 3, 1)
+        init_vars = jm.init(jax.random.PRNGKey(0), xj, False)
+        variables = merge_variables(init_vars, variables)
+        j_atts, j_agg, j_x4 = jm.apply(variables, xj, False)
+
+        assert len(t_atts) == len(j_atts) == 5
+        # finest-first ordering and per-level parity
+        for i, (ta, ja) in enumerate(zip(t_atts, j_atts)):
+            assert ta.shape[2] == ja.shape[1], f"depth {i} spatial mismatch"
+            assert _max_err(ta.numpy(), _nchw(ja)) < 5e-4, f"attention {i}"
+        assert _max_err(t_agg.numpy(), _nchw(j_agg)) < 5e-4
+        assert _max_err(t_x4.numpy(), _nchw(j_x4)) < 5e-4
+
+    def test_predict_methods(self, torch_reference, rng):
+        torch = torch_reference
+        from architectures.segmentor.compose import ResnestUNet as TorchUNet
+
+        tm = TorchUNet(num_classes=2, pretrain=False)
+        tm.eval()
+        x = rng.standard_normal((1, 3, 64, 64), dtype=np.float32)
+        variables = convert_resnest_unet(_sd_numpy(tm))
+        jm = ResnestUNet(num_classes=2)
+        xj = jnp.asarray(x).transpose(0, 2, 3, 1)
+        variables = merge_variables(jm.init(jax.random.PRNGKey(0), xj, False), variables)
+
+        for method in ("softmax", "sigmoid", "one-hot", "original"):
+            with torch.no_grad():
+                _, t_pred = tm.predict(torch.from_numpy(x), method)
+            _, j_pred = jm.apply(variables, xj, method, method=ResnestUNet.predict)
+            if method == "one-hot":
+                # argmax can flip at numerical near-ties with random weights:
+                # only compare where the torch class margin is decisive
+                with torch.no_grad():
+                    _, t_soft = tm.predict(torch.from_numpy(x), "softmax")
+                probs = t_soft.numpy()
+                margin = np.abs(np.sort(probs, axis=1)[:, -1] - np.sort(probs, axis=1)[:, -2])
+                decisive = margin > 1e-4
+                terr = np.abs(t_pred.numpy() - _nchw(j_pred)).max(axis=1)
+                assert terr[decisive].max() < 5e-4, method
+            else:
+                assert _max_err(t_pred.numpy(), _nchw(j_pred)) < 5e-4, method
+
+
+@pytest.mark.slow
+class TestParallelHeadParity:
+    def test_forward(self, torch_reference, rng):
+        torch = torch_reference
+        from architectures.segmentor.compose import ResnestUnetParallelHead as TorchPH
+
+        tm = TorchPH(num_classes=2, pretrain=False)
+        tm.eval()
+        x = rng.standard_normal((1, 3, 64, 64), dtype=np.float32)
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x)).numpy()  # (k,b,c,h,w)
+
+        variables = convert_resnest_unet(_sd_numpy(tm), parallel_head=True)
+        jm = ResnestUnetParallelHead(num_classes=2)
+        xj = jnp.asarray(x).transpose(0, 2, 3, 1)
+        variables = merge_variables(jm.init(jax.random.PRNGKey(0), xj, False), variables)
+        j_out = np.asarray(jm.apply(variables, xj, False)).transpose(0, 1, 4, 2, 3)
+        assert t_out.shape == j_out.shape
+        assert _max_err(t_out, j_out) < 5e-4
+
+
+class TestDiscriminatorParity:
+    def _pyramid(self, rng, b, c, h, w, depth):
+        return [
+            rng.uniform(0, 1, (b, c, h // (2**i), w // (2**i))).astype(np.float32)
+            for i in range(depth + 1)
+        ]
+
+    def test_forward_parity_eval_nonoise(self, torch_reference, rng):
+        """Noise-free eval: deterministic comparison (InstanceNoise off via
+        is_training=False; label_noise disabled)."""
+        torch = torch_reference
+        from architectures.discriminator.blocks import DiscriminatorBlock as TorchD
+
+        h = w = 64
+        depth = 3
+        tm = TorchD((1, 2, h, w), is_training=False, depth=depth, num_filters=16,
+                    instance_noise=True, label_noise=False)
+        tm.eval()
+        ys = self._pyramid(rng, 2, 2, h, w, depth)
+        with torch.no_grad():
+            t_logits = tm([torch.from_numpy(y) for y in ys]).numpy()
+
+        variables = convert_discriminator(_sd_numpy(tm), depth=depth, instance_noise=True)
+        jm = DiscriminatorBlock(input_hw=(h, w), depth=depth, num_filters=16,
+                                instance_noise=True, label_noise=False)
+        ysj = [jnp.asarray(y).transpose(0, 2, 3, 1) for y in ys]
+        init_vars = jm.init({"params": jax.random.PRNGKey(0)}, ysj, False)
+        variables = merge_variables(init_vars, variables)
+        j_logits = np.asarray(jm.apply(variables, ysj, False))
+        assert t_logits.shape == j_logits.shape
+        assert _max_err(t_logits, j_logits) < 5e-4
+
+    def test_spectral_norm_train_updates(self, torch_reference, rng):
+        """Training mode: one forward must match torch's power-iteration
+        update and produce identical updated u/v state."""
+        torch = torch_reference
+        from architectures.discriminator.blocks import DiscriminatorBlock as TorchD
+
+        h = w = 32
+        depth = 2
+        tm = TorchD((1, 2, h, w), is_training=False, depth=depth, num_filters=8,
+                    instance_noise=False, label_noise=False)
+        tm.train()
+        ys = self._pyramid(rng, 1, 2, h, w, depth)
+        variables = convert_discriminator(_sd_numpy(tm), depth=depth, instance_noise=False)
+
+        with torch.no_grad():
+            t_logits = tm([torch.from_numpy(y) for y in ys]).numpy()
+
+        jm = DiscriminatorBlock(input_hw=(h, w), depth=depth, num_filters=8,
+                                instance_noise=False, label_noise=False)
+        ysj = [jnp.asarray(y).transpose(0, 2, 3, 1) for y in ys]
+        init_vars = jm.init({"params": jax.random.PRNGKey(0)}, ysj, False)
+        variables = merge_variables(init_vars, variables)
+        j_logits, mutated = jm.apply(variables, ysj, True, mutable=["spectral"])
+        assert _max_err(t_logits, np.asarray(j_logits)) < 5e-4
+
+        # compare updated power-iteration vectors
+        t_sd = _sd_numpy(tm)  # fresh copy after the torch update
+        for i in range(depth):
+            tu = t_sd[f"spectral_dict.spectral_{i}.0.weight_u"]
+            ju = np.asarray(mutated["spectral"][f"spectral_{i}"]["u"])
+            assert _max_err(tu, ju) < 1e-5, f"u mismatch at depth {i}"
