@@ -1,0 +1,208 @@
+"""ROSE / OCTA-500 dataset loaders and the synthetic generator.
+
+The reference repo ships no data code (datasets are request-gated downloads,
+reference README.md:45-47); the trainer this framework supplies reads the
+standard on-disk layouts:
+
+ROSE (https://imed.nimte.ac.cn/dataofrose.html), e.g. ROSE-1 SVC:
+    <root>/ROSE-1/SVC/{train,test}/img/*.png|tif
+    <root>/ROSE-1/SVC/{train,test}/gt/*.png           (full vessel GT)
+    <root>/ROSE-1/SVC/train/thin_gt | thick_gt        (centerline scribbles)
+
+OCTA-500 (3M/6M projections):
+    <root>/OCTA-500/OCTA_3M/{train,test}/img/*.bmp
+    <root>/OCTA-500/OCTA_3M/{train,test}/gt/*.bmp
+
+Images load host-side into pinned numpy batches (PIL if present, else a
+minimal PNG/BMP reader); every further transform is jitted on device
+(octave_tpu.data.preprocess). SyntheticOcta generates vessel-like phantoms so
+every train/eval/bench path runs without the gated datasets.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_IMG_EXTS = (".png", ".tif", ".tiff", ".bmp", ".jpg", ".jpeg", ".gif")
+
+
+def _load_image(path: str) -> np.ndarray:
+    """Read an image file to a (h,w) or (h,w,c) uint8 array."""
+    try:
+        from PIL import Image  # optional dep
+
+        with Image.open(path) as im:
+            return np.asarray(im)
+    except ImportError:
+        pass
+    try:
+        import imageio.v3 as iio  # optional dep
+
+        return iio.imread(path)
+    except ImportError:
+        pass
+    raise RuntimeError(
+        f"No image reader available for {path}: install pillow or imageio, "
+        "or use SyntheticOcta."
+    )
+
+
+def _list_images(d: str) -> List[str]:
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.lower().endswith(_IMG_EXTS)
+    )
+
+
+@dataclass
+class Sample:
+    image: np.ndarray  # (h, w) uint8
+    scribble: np.ndarray  # (h, w) uint8 label map (0=unlabeled, 1=bg, 2=vessel)
+    mask: np.ndarray  # (h, w) uint8 dense label (0=bg, 1=vessel)
+
+
+def _binarize(a: np.ndarray) -> np.ndarray:
+    if a.ndim == 3:
+        a = a[..., 0]
+    return (a > 127).astype(np.uint8)
+
+
+def skeletonize_to_scribble(mask: np.ndarray, rng: np.random.Generator,
+                            bg_fraction: float = 0.02) -> np.ndarray:
+    """Centerline-style weak annotation from a dense mask: morphological
+    thinning of the vessel map (scribble class 2) + a sparse random sample
+    of background pixels (scribble class 1). Used when a dataset has no
+    scribble directory and for the synthetic generator.
+    """
+    m = mask.astype(bool)
+    try:
+        from scipy.ndimage import binary_erosion, binary_opening
+
+        # classic morphological skeleton: ∪_k erode^k(A) \ open(erode^k(A))
+        skel = np.zeros_like(m)
+        eroded = m
+        while eroded.any():
+            skel |= eroded & ~binary_opening(eroded)
+            eroded = binary_erosion(eroded)
+    except ImportError:
+        skel = m
+    scrib = np.zeros_like(mask, dtype=np.uint8)
+    scrib[skel] = 2
+    bg = (~m) & (rng.random(mask.shape) < bg_fraction)
+    scrib[bg] = 1
+    return scrib
+
+
+class ImageFolderOcta:
+    """Generic {img, gt[, scribble]} folder dataset."""
+
+    def __init__(self, img_dir: str, gt_dir: str, scribble_dir: Optional[str] = None,
+                 seed: int = 0):
+        self.images = _list_images(img_dir)
+        self.gts = _list_images(gt_dir)
+        assert len(self.images) == len(self.gts) and self.images, (
+            f"mismatched/empty dataset: {img_dir} ({len(self.images)}) vs "
+            f"{gt_dir} ({len(self.gts)})"
+        )
+        self.scribbles = _list_images(scribble_dir) if scribble_dir else []
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, i: int) -> Sample:
+        img = _load_image(self.images[i])
+        if img.ndim == 3:
+            img = img[..., 0]
+        mask = _binarize(_load_image(self.gts[i]))
+        if self.scribbles:
+            s = _binarize(_load_image(self.scribbles[i]))
+            scrib = np.zeros_like(mask, dtype=np.uint8)
+            scrib[s.astype(bool)] = 2
+        else:
+            scrib = skeletonize_to_scribble(mask, self._rng)
+        return Sample(img.astype(np.uint8), scrib, mask)
+
+
+def rose(root: str, subset: str = "ROSE-1/SVC", split: str = "train") -> ImageFolderOcta:
+    """ROSE layout (reference README.md:45)."""
+    base = os.path.join(root, subset, split)
+    scrib = os.path.join(base, "thin_gt")
+    return ImageFolderOcta(
+        os.path.join(base, "img"),
+        os.path.join(base, "gt"),
+        scrib if os.path.isdir(scrib) else None,
+    )
+
+
+def octa500(root: str, fov: str = "3M", split: str = "train") -> ImageFolderOcta:
+    """OCTA-500 layout (reference README.md:45)."""
+    base = os.path.join(root, f"OCTA_{fov}", split)
+    return ImageFolderOcta(os.path.join(base, "img"), os.path.join(base, "gt"))
+
+
+class SyntheticOcta:
+    """Vessel-phantom generator: random smooth curvilinear structures on a
+    speckle background — shape/statistics proxy for en-face angiograms so the
+    whole pipeline (incl. Dice/AUC eval) runs without the gated datasets."""
+
+    def __init__(self, size: Tuple[int, int] = (304, 304), n: int = 64, seed: int = 0):
+        self.size = size
+        self.n = n
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, i: int) -> Sample:
+        h, w = self.size
+        rng = np.random.default_rng(self.seed * 100003 + i)
+        mask = np.zeros((h, w), np.uint8)
+        yy, xx = np.mgrid[0:h, 0:w]
+        for _ in range(rng.integers(6, 14)):
+            # random quadratic vessel path
+            x0, x1 = rng.uniform(0, w, 2)
+            xm = rng.uniform(0, w)
+            t = np.linspace(0, 1, max(h, w) * 2)
+            px = (1 - t) ** 2 * x0 + 2 * (1 - t) * t * xm + t**2 * x1
+            py = t * (h - 1)
+            r = rng.uniform(1.0, 3.5)
+            for cx, cy in zip(px[:: max(1, len(px) // 256)], py[:: max(1, len(py) // 256)]):
+                d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+                mask[d2 <= r * r] = 1
+        speckle = rng.gamma(2.0, 0.12, (h, w))
+        img = np.clip(speckle + mask * rng.uniform(0.35, 0.6), 0, 1)
+        img8 = (img * 255).astype(np.uint8)
+        scrib = skeletonize_to_scribble(mask, rng)
+        return Sample(img8, scrib, mask)
+
+
+def batch_iterator(
+    dataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+    epochs: Optional[int] = None,
+) -> Iterator[dict]:
+    """Host-side batching into contiguous numpy arrays (the device transform
+    is octave_tpu.data.preprocess.prepare_batch)."""
+    n = len(dataset)
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        stop = n - (n % batch_size) if drop_last else n
+        for s in range(0, stop, batch_size):
+            idx = order[s : s + batch_size]
+            samples = [dataset[int(i)] for i in idx]
+            yield {
+                "image": np.stack([x.image for x in samples]),
+                "scribble": np.stack([x.scribble for x in samples]),
+                "mask": np.stack([x.mask for x in samples]),
+            }
+        epoch += 1

@@ -113,7 +113,9 @@ def xavier_uniform():
 
 def max_pool2d(x: jax.Array, kernel_size: int, stride: int, padding: int) -> jax.Array:
     """MaxPool2d over NHWC with symmetric zero-ish (−inf) padding."""
-    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # NB: init_value must be a Python scalar — an array init breaks the
+    # reduce_window transpose rule under jit (JAX 0.9)
+    neg_inf = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else int(jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
         x,
         neg_inf,
@@ -138,6 +140,11 @@ def avg_pool2d(
     window is kept; torch never counts that *extra* padding in the divisor
     (and with count_include_pad=False no padding is counted at all).
     """
+    if kernel_size == 1 and stride == 1 and padding == 0:
+        # degenerate identity pool (e.g. the dilated avg_down shortcut,
+        # reference resnest.py:386-387); also sidesteps a reduce_window
+        # autodiff limitation for 1x1 windows
+        return x
     h, w = x.shape[1], x.shape[2]
 
     def out_size(n: int) -> int:
@@ -162,7 +169,7 @@ def avg_pool2d(
     )
     summed = lax.reduce_window(
         x,
-        jnp.zeros((), x.dtype),
+        0.0,
         lax.add,
         window_dimensions=(1, kernel_size, kernel_size, 1),
         window_strides=(1, stride, stride, 1),
@@ -174,7 +181,7 @@ def avg_pool2d(
         ones = jnp.ones((1, h + 2 * padding, w + 2 * padding, 1), x.dtype)
         counts = lax.reduce_window(
             ones,
-            jnp.zeros((), x.dtype),
+            0.0,
             lax.add,
             window_dimensions=(1, kernel_size, kernel_size, 1),
             window_strides=(1, stride, stride, 1),
@@ -184,7 +191,7 @@ def avg_pool2d(
         ones = jnp.ones((1, h, w, 1), x.dtype)
         counts = lax.reduce_window(
             ones,
-            jnp.zeros((), x.dtype),
+            0.0,
             lax.add,
             window_dimensions=(1, kernel_size, kernel_size, 1),
             window_strides=(1, stride, stride, 1),
@@ -194,7 +201,7 @@ def avg_pool2d(
         ones = jnp.ones((1, h, w, 1), x.dtype)
         counts = lax.reduce_window(
             ones,
-            jnp.zeros((), x.dtype),
+            0.0,
             lax.add,
             window_dimensions=(1, kernel_size, kernel_size, 1),
             window_strides=(1, stride, stride, 1),

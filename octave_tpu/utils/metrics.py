@@ -1,0 +1,147 @@
+"""Segmentation metrics: Dice / IoU / accuracy via jitted confusion
+accumulation, AUC via a device-side binned ROC (no per-batch host round
+trips — SURVEY.md §7 hard part (f)).
+
+The reference computes metrics off-tree (sklearn pinned but unused in-tree,
+reference requirements.txt:12); these are the in-framework equivalents used
+by the eval harness for the BASELINE.json configs #2-3.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ConfusionAccumulator(NamedTuple):
+    """Streaming confusion counts for a binary (vessel) class."""
+
+    tp: jax.Array
+    fp: jax.Array
+    fn: jax.Array
+    tn: jax.Array
+
+    @classmethod
+    def empty(cls) -> "ConfusionAccumulator":
+        z = jnp.zeros((), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        return cls(z, z, z, z)
+
+    def update(self, pred: jax.Array, target: jax.Array) -> "ConfusionAccumulator":
+        pred = pred.astype(jnp.float32)
+        target = target.astype(jnp.float32)
+        return ConfusionAccumulator(
+            self.tp + jnp.sum(pred * target),
+            self.fp + jnp.sum(pred * (1 - target)),
+            self.fn + jnp.sum((1 - pred) * target),
+            self.tn + jnp.sum((1 - pred) * (1 - target)),
+        )
+
+    def dice(self, eps: float = 1e-12) -> jax.Array:
+        return 2 * self.tp / (2 * self.tp + self.fp + self.fn + eps)
+
+    def iou(self, eps: float = 1e-12) -> jax.Array:
+        return self.tp / (self.tp + self.fp + self.fn + eps)
+
+    def accuracy(self, eps: float = 1e-12) -> jax.Array:
+        total = self.tp + self.fp + self.fn + self.tn
+        return (self.tp + self.tn) / (total + eps)
+
+    def sensitivity(self, eps: float = 1e-12) -> jax.Array:
+        return self.tp / (self.tp + self.fn + eps)
+
+    def specificity(self, eps: float = 1e-12) -> jax.Array:
+        return self.tn / (self.tn + self.fp + eps)
+
+
+def dice_score(pred: jax.Array, target: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Hard Dice over the whole batch (binary maps)."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    inter = jnp.sum(pred * target)
+    return 2 * inter / (jnp.sum(pred) + jnp.sum(target) + eps)
+
+
+class AucAccumulator(NamedTuple):
+    """Binned-ROC AUC: histogram positive/negative scores into fixed bins on
+    device; the final AUC is a trapezoid over the binned ROC. With 4096 bins
+    the quantization error is ≪ 1e-3 for ≤400² maps."""
+
+    pos_hist: jax.Array  # (bins,)
+    neg_hist: jax.Array
+
+    @classmethod
+    def empty(cls, bins: int = 4096) -> "AucAccumulator":
+        return cls(jnp.zeros((bins,), jnp.float32), jnp.zeros((bins,), jnp.float32))
+
+    def update(self, scores: jax.Array, target: jax.Array) -> "AucAccumulator":
+        bins = self.pos_hist.shape[0]
+        s = jnp.clip(scores.reshape(-1), 0.0, 1.0)
+        t = target.reshape(-1).astype(jnp.float32)
+        idx = jnp.clip((s * bins).astype(jnp.int32), 0, bins - 1)
+        pos = jnp.zeros((bins,), jnp.float32).at[idx].add(t)
+        neg = jnp.zeros((bins,), jnp.float32).at[idx].add(1 - t)
+        return AucAccumulator(self.pos_hist + pos, self.neg_hist + neg)
+
+    def auc(self, eps: float = 1e-12) -> jax.Array:
+        """Equivalent to the rank statistic on binned scores with tie
+        correction (each bin contributes tp-trapezoid area)."""
+        # descending-threshold cumulative counts
+        pos = self.pos_hist[::-1]
+        neg = self.neg_hist[::-1]
+        cpos = jnp.cumsum(pos)
+        cneg = jnp.cumsum(neg)
+        p_tot = cpos[-1]
+        n_tot = cneg[-1]
+        tpr = cpos / (p_tot + eps)
+        fpr = cneg / (n_tot + eps)
+        tpr = jnp.concatenate([jnp.zeros((1,)), tpr])
+        fpr = jnp.concatenate([jnp.zeros((1,)), fpr])
+        return jnp.sum((fpr[1:] - fpr[:-1]) * 0.5 * (tpr[1:] + tpr[:-1]))
+
+
+def auc_exact(scores, target) -> float:
+    """Host-side exact AUC (Mann-Whitney U with tie correction) for
+    validation of the binned accumulator."""
+    import numpy as np
+
+    s = np.asarray(scores).reshape(-1)
+    t = np.asarray(target).reshape(-1).astype(bool)
+    n_pos = int(t.sum())
+    n_neg = t.size - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty_like(order, dtype=np.float64)
+    sorted_s = s[order]
+    # average ranks for ties
+    i = 0
+    r = np.arange(1, s.size + 1, dtype=np.float64)
+    while i < s.size:
+        j = i
+        while j + 1 < s.size and sorted_s[j + 1] == sorted_s[i]:
+            j += 1
+        r[i : j + 1] = 0.5 * (i + 1 + j + 1)
+        i = j + 1
+    ranks[order] = r
+    u = ranks[t].sum() - n_pos * (n_pos + 1) / 2
+    return float(u / (n_pos * n_neg))
+
+
+@jax.jit
+def eval_step_metrics(
+    probs: jax.Array, target: jax.Array, threshold: float = 0.5
+) -> Dict[str, jax.Array]:
+    """One-shot metrics for a batch: probs (b,h,w) vessel probability,
+    target (b,h,w) binary GT."""
+    pred = (probs >= threshold).astype(jnp.float32)
+    acc = ConfusionAccumulator.empty().update(pred, target)
+    auc = AucAccumulator.empty().update(probs, target)
+    return {
+        "dice": acc.dice(),
+        "iou": acc.iou(),
+        "accuracy": acc.accuracy(),
+        "sensitivity": acc.sensitivity(),
+        "specificity": acc.specificity(),
+        "auc": auc.auc(),
+    }

@@ -1,0 +1,118 @@
+"""Integration: one fused weakly-supervised + adversarial train step runs,
+losses are finite, all mutable state advances, and the supervised loss
+decreases on a learnable synthetic task (SURVEY.md §4 integration tests)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from octave_tpu.data.preprocess import mask_pyramid, mask_to_onehot, scribble_to_onehot
+from octave_tpu.models.discriminator import DiscriminatorBlock
+from octave_tpu.models.segmentor import ResnestUNet
+from octave_tpu.train.schedule import make_optimizer, polynomial_decay
+from octave_tpu.train.state import TrainState
+from octave_tpu.train.steps import StepConfig, make_train_step
+
+
+HW = 32
+
+
+def _batch(rng, b=2, hw=HW):
+    img = rng.uniform(0, 1, (b, hw, hw, 3)).astype(np.float32)
+    mask = (rng.uniform(0, 1, (b, hw, hw)) > 0.6).astype(np.int32)
+    scrib_map = np.where(rng.uniform(0, 1, (b, hw, hw)) < 0.3, mask + 1, 0)
+    dense = mask_to_onehot(jnp.asarray(mask), 2)
+    return {
+        "image": jnp.asarray(img),
+        "scribble_onehot": scribble_to_onehot(jnp.asarray(scrib_map), 2),
+        "mask_onehot": dense,
+        "mask_pyramid": mask_pyramid(dense, 4),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    seg = ResnestUNet(num_classes=2)
+    disc = DiscriminatorBlock(input_hw=(HW, HW), depth=4, num_filters=8)
+    rng = np.random.default_rng(0)
+    batch = _batch(rng)
+    key = jax.random.PRNGKey(0)
+    seg_vars = seg.init(key, batch["image"], True)
+    disc_vars = disc.init(
+        {"params": key, "noise": key}, list(batch["mask_pyramid"]), True
+    )
+    state = TrainState.create(
+        seg_params=seg_vars["params"],
+        disc_params=disc_vars["params"],
+        batch_stats=seg_vars["batch_stats"],
+        spectral=disc_vars["spectral"],
+        seg_tx=make_optimizer(schedule=polynomial_decay(1e-3, decay_steps=100)),
+        disc_tx=make_optimizer(1e-4),
+        rng=jax.random.PRNGKey(7),
+    )
+    return seg, disc, state, batch
+
+
+@pytest.mark.slow
+class TestTrainStep:
+    def test_adversarial_step(self, setup):
+        seg, disc, state, batch = setup
+        cfg = StepConfig(num_classes=2, use_discriminator=True, discriminator_depth=4)
+        step = jax.jit(make_train_step(seg, disc, cfg))
+        s1, losses = step(state, batch)
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), k
+        assert {"loss_sup", "loss_ild", "loss_adv", "loss_disc", "loss_seg_total"} <= set(losses)
+        assert int(s1.step) == 1
+
+        # every mutable collection advanced
+        def changed(a, b):
+            return any(
+                float(jnp.abs(x - y).max()) > 0 for x, y in
+                zip(jax.tree.leaves(a), jax.tree.leaves(b))
+            )
+
+        assert changed(s1.seg_params, state.seg_params)
+        assert changed(s1.disc_params, state.disc_params)
+        assert changed(s1.batch_stats, state.batch_stats)
+        assert changed(s1.spectral, state.spectral)
+        assert not bool(jnp.all(s1.rng == state.rng))
+
+        # second step runs from the new state (no recompile errors, finite)
+        s2, losses2 = step(s1, batch)
+        assert np.isfinite(float(losses2["loss_seg_total"]))
+
+    def test_weak_supervision_learns(self, setup):
+        """Config #4: WPCE+ILD only (no GAN) decreases on a fixed batch."""
+        seg, _, state, batch = setup
+        cfg = StepConfig(num_classes=2, use_discriminator=False, lambda_ild=0.1)
+        step = jax.jit(make_train_step(seg, None, cfg))
+        losses_hist = []
+        s = state
+        for _ in range(8):
+            s, losses = step(s, batch)
+            losses_hist.append(float(losses["loss_sup"]))
+        assert losses_hist[-1] < losses_hist[0], losses_hist
+
+    def test_dice_supervised_mode(self, setup):
+        """weakly_supervise=False → DiceLoss fallback (octa.py:53-54)."""
+        seg, _, state, batch = setup
+        cfg = StepConfig(num_classes=2, weakly_supervise=False, use_discriminator=False,
+                         lambda_ild=0.0)
+        step = jax.jit(make_train_step(seg, None, cfg))
+        batch = dict(batch, scribble_onehot=batch["mask_onehot"])
+        _, losses = step(state, batch)
+        assert 0.0 <= float(losses["loss_sup"]) <= 1.0
+
+
+@pytest.mark.slow
+def test_eval_step(setup):
+    from octave_tpu.train.steps import make_eval_step
+
+    seg, _, state, batch = setup
+    eval_step = jax.jit(make_eval_step(seg, 2))
+    pred, metrics = eval_step(state.seg_params, state.batch_stats, batch)
+    assert pred.shape == (2, HW, HW, 2)
+    for k in ("dice", "iou", "auc", "accuracy", "sensitivity", "specificity"):
+        v = float(metrics[k])
+        assert 0.0 <= v <= 1.0, (k, v)
