@@ -1,0 +1,117 @@
+"""octave-tpu command line: train / eval / convert-weights / bench.
+
+Usage:
+    python -m octave_tpu.cli train  [--config cfg.yaml] [k.ey=value ...]
+    python -m octave_tpu.cli eval   --checkpoint DIR [k.ey=value ...]
+    python -m octave_tpu.cli convert --pth resnest50.pth --out weights/
+    python -m octave_tpu.cli bench
+
+The reference has no CLI (configuration = constructor kwargs only,
+SURVEY.md §5); dotted overrides map 1:1 onto those kwargs via
+octave_tpu.utils.config.Config.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from typing import Dict, List
+
+
+def _parse_overrides(items: List[str]) -> Dict[str, str]:
+    out = {}
+    for it in items:
+        if "=" not in it:
+            raise SystemExit(f"override must be key=value, got: {it}")
+        k, v = it.split("=", 1)
+        out[k] = v
+    return out
+
+
+def _load_cfg(args):
+    from octave_tpu.utils.config import Config
+
+    cfg = Config.load(args.config) if args.config else Config()
+    if args.overrides:
+        cfg = cfg.apply_overrides(_parse_overrides(args.overrides))
+    return cfg
+
+
+def cmd_train(args) -> int:
+    from octave_tpu.train.trainer import Trainer
+
+    cfg = _load_cfg(args)
+    trainer = Trainer(cfg)
+    state = trainer.fit()
+    metrics = trainer.evaluate(state)
+    print({k: round(v, 4) for k, v in metrics.items()})
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from octave_tpu.train.trainer import Trainer
+    from octave_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = _load_cfg(args)
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    if args.checkpoint:
+        mgr = CheckpointManager(args.checkpoint)
+        restored = mgr.restore_latest(state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint found in {args.checkpoint}")
+        state = restored
+    metrics = trainer.evaluate(state)
+    print({k: round(v, 4) for k, v in metrics.items()})
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from octave_tpu.utils.checkpoint import save_pytree
+    from octave_tpu.utils.torch_convert import convert_resnest50, load_torch_state_dict
+
+    sd = load_torch_state_dict(args.pth)
+    tree = convert_resnest50(sd, with_fc=not args.no_fc)
+    save_pytree(args.out, tree)
+    n = sum(x.size for x in __import__("jax").tree.leaves(tree))
+    print(f"converted {len(sd)} torch tensors -> {args.out} ({n / 1e6:.1f}M params)")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(name)s %(message)s", stream=sys.stderr
+    )
+    p = argparse.ArgumentParser(prog="octave_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for name, fn in (("train", cmd_train), ("eval", cmd_eval)):
+        sp = sub.add_parser(name)
+        sp.add_argument("--config", default=None, help="YAML/JSON config path")
+        if name == "eval":
+            sp.add_argument("--checkpoint", default=None)
+        sp.add_argument("overrides", nargs="*", help="dotted key=value overrides")
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("convert")
+    sp.add_argument("--pth", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--no-fc", action="store_true")
+    sp.set_defaults(fn=cmd_convert)
+
+    sp = sub.add_parser("bench")
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

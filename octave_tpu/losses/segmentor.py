@@ -28,6 +28,7 @@ def weighted_partial_ce(
     ignore_bg: bool = False,
     reduction: Literal["mean", "sum"] = "mean",
     full: bool = False,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """Weighted Partial Cross-Entropy over scribble pixels (losses.py:11-61).
 
@@ -45,6 +46,11 @@ def weighted_partial_ce(
         y_hat = y_hat * ys
 
     ni = jnp.sum(ys, axis=(0, 1, 2))  # (c,)
+    if axis_name is not None:
+        # under a data mesh, class weights come from the GLOBAL scribble
+        # counts so the sharded loss equals the full-batch loss exactly
+        # (per-device counts would reproduce DDP's slightly-divergent stats)
+        ni = jax.lax.psum(ni, axis_name)
     n_tot = jnp.sum(ni)
     weights = n_tot / (ni + _EPS)  # (c,)
 

@@ -1,0 +1,85 @@
+"""Device-mesh data parallelism over ICI.
+
+The reference's multi-GPU story is off-tree Lightning DDP/NCCL on SLURM
+(reference requirements.txt:9,17; README.md:41). The TPU-native equivalent
+(SURVEY.md §2.3): a 1-D `jax.sharding.Mesh` over the data axis, per-device
+batch shards, gradient `pmean` riding ICI inside one `shard_map`-ped step,
+and cross-replica BatchNorm (`bn_axis_name`) for sync-BN statistics. The
+model (~26M params ≈ 100 MB fp32) is fully replicated — no parameter
+sharding needed; for pods, `jax.distributed.initialize` extends the same
+mesh over DCN.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    """1-D data mesh over the first n (default: all) local devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = DATA_AXIS) -> Dict[str, Any]:
+    """Place a host batch with the leading axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a pytree (params/state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def make_parallel_train_step(train_step, mesh: Mesh, axis: str = DATA_AXIS):
+    """shard_map a single-device train step over the data mesh.
+
+    `train_step` must already be built with StepConfig(axis_name=axis) and
+    modules constructed with bn_axis_name=axis, so grads/losses pmean and BN
+    stats sync inside. State is replicated, batch sharded on dim 0.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    mapped = shard_map(
+        train_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def make_parallel_eval_step(eval_step, mesh: Mesh, axis: str = DATA_AXIS):
+    """shard_map an eval step: params replicated, batch sharded; the metric
+    accumulators come back per-shard sums (psum'd inside via axis when
+    needed) — predictions stay sharded on batch."""
+    from jax.experimental.shard_map import shard_map
+
+    def step(params, stats, batch):
+        pred, metrics = eval_step(params, stats, batch)
+        metrics = jax.tree.map(lambda m: jax.lax.pmean(m, axis), metrics)
+        return pred, metrics
+
+    mapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=(P(axis), P()),
+        check_rep=False,
+    )
+    return jax.jit(mapped)

@@ -60,7 +60,9 @@ class StepConfig:
 
 def _supervised(cfg: StepConfig, probs: jax.Array, target: jax.Array) -> jax.Array:
     if cfg.weakly_supervise:
-        return weighted_partial_ce(probs, target, cfg.num_classes, manual=True)
+        return weighted_partial_ce(
+            probs, target, cfg.num_classes, manual=True, axis_name=cfg.axis_name
+        )
     return dice_loss(probs, target)
 
 
@@ -80,6 +82,13 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: Dict[str, Any]):
         rng, r_g, r_fake, r_real = jax.random.split(state.rng, 4)
+        if cfg.axis_name is not None:
+            # independent noise draws per data shard (the DDP-faithful
+            # behavior: each process draws its own instance/label noise)
+            idx = jax.lax.axis_index(cfg.axis_name)
+            r_g, r_fake, r_real = (
+                jax.random.fold_in(r, idx) for r in (r_g, r_fake, r_real)
+            )
 
         def seg_loss_fn(seg_params):
             out, mut = segmentor.apply(

@@ -1,0 +1,258 @@
+"""The training harness the reference implies but never ships: a complete
+weakly-supervised adversarial trainer with eval, checkpointing, profiling,
+and optional data parallelism (SURVEY.md §1 "implied trainer" layer;
+reference README.md:28-41 delegates this to Lightning+submitit off-tree).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from octave_tpu.data import datasets as ds
+from octave_tpu.data.preprocess import prepare_batch
+from octave_tpu.models.discriminator import DiscriminatorBlock
+from octave_tpu.models.segmentor import ResnestUNet
+from octave_tpu.train.schedule import make_optimizer, polynomial_decay
+from octave_tpu.train.state import TrainState
+from octave_tpu.train.steps import StepConfig, make_eval_step, make_train_step
+from octave_tpu.utils.config import Config
+
+log = logging.getLogger("octave_tpu")
+
+
+def build_dataset(cfg: Config, split: str = "train"):
+    d = cfg.data
+    if d.dataset == "synthetic":
+        return ds.SyntheticOcta(size=tuple(d.image_size), n=d.synthetic_n,
+                                seed=cfg.train.seed + (0 if split == "train" else 1))
+    if d.dataset == "rose":
+        return ds.rose(d.root, d.subset, split)
+    if d.dataset == "octa500":
+        return ds.octa500(d.root, d.subset, split)
+    raise ValueError(f"unknown dataset: {d.dataset}")
+
+
+class Trainer:
+    """End-to-end harness for BASELINE.json configs #4-5 (weak supervision /
+    full adversarial training)."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        if cfg.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
+        m = cfg.model
+        axis = "data" if cfg.train.data_parallel else None
+        self.segmentor = ResnestUNet(
+            num_classes=m.num_classes,
+            gating_level=m.segmentor_gating_level,
+            encoder_gating=m.encoder_gating,
+            bn_axis_name=axis,
+        )
+        self.discriminator = (
+            DiscriminatorBlock(
+                input_hw=tuple(cfg.data.image_size),
+                depth=m.discriminator_depth,
+                num_filters=m.num_filters,
+                instance_noise=m.instance_noise,
+                label_noise=m.label_noise,
+            )
+            if m.discriminator_depth > 0
+            else None
+        )
+        self.step_cfg = StepConfig(
+            num_classes=m.num_classes,
+            weakly_supervise=m.weakly_supervise,
+            lambda_ild=cfg.loss.lambda_ild,
+            lambda_adv=cfg.loss.lambda_adv,
+            ild_weights=cfg.loss.ild_weights,
+            ild_stop_gradient=cfg.loss.ild_stop_gradient,
+            ild_divergence=cfg.loss.ild_divergence,
+            use_discriminator=self.discriminator is not None,
+            discriminator_depth=m.discriminator_depth,
+            axis_name=axis,
+        )
+        self.mesh = None
+        self._make_steps()
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> TrainState:
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.train.seed)
+        k_seg, k_disc, k_state = jax.random.split(key, 3)
+        h, w = cfg.data.image_size
+        img = jnp.zeros((1, h, w, cfg.data.in_channels), jnp.float32)
+        seg_vars = self.segmentor.init(k_seg, img, False)
+
+        o = cfg.optim
+        seg_tx = make_optimizer(
+            schedule=polynomial_decay(o.seg_lr, o.end_lr, o.decay_steps, o.power),
+            weight_decay=o.weight_decay, grad_clip=o.grad_clip,
+        )
+        disc_params = spectral = None
+        disc_tx = None
+        if self.discriminator is not None:
+            pyr = [
+                jnp.zeros((1, h // 2**i, w // 2**i, cfg.model.num_classes), jnp.float32)
+                for i in range(cfg.model.discriminator_depth + 1)
+            ]
+            disc_vars = self.discriminator.init(
+                {"params": k_disc, "noise": k_disc}, pyr, False
+            )
+            disc_params = disc_vars["params"]
+            spectral = disc_vars.get("spectral")
+            disc_tx = make_optimizer(
+                schedule=polynomial_decay(o.disc_lr, o.end_lr, o.decay_steps, o.power),
+                grad_clip=o.grad_clip,
+            )
+
+        state = TrainState.create(
+            seg_params=seg_vars["params"],
+            disc_params=disc_params,
+            batch_stats=seg_vars["batch_stats"],
+            spectral=spectral,
+            seg_tx=seg_tx,
+            disc_tx=disc_tx,
+            rng=k_state,
+        )
+        if cfg.model.pretrain:
+            state = self.load_pretrained_backbone(state, cfg.model.weight_path)
+        if self.mesh is not None:
+            from octave_tpu.parallel.mesh import replicate
+
+            state = replicate(state, self.mesh)
+        return state
+
+    def load_pretrained_backbone(self, state: TrainState, path: str) -> TrainState:
+        """Load the resnest50 .pth into the segmentor's backbone (the
+        reference constructor's pretrian=True path, octa.py:21,44)."""
+        from octave_tpu.utils.torch_convert import (
+            convert_resnest50,
+            load_torch_state_dict,
+            merge_variables,
+        )
+
+        sd = load_torch_state_dict(path)
+        conv = convert_resnest50(sd, with_fc=False)
+        merged = merge_variables(
+            {
+                "params": state.seg_params["backbone"],
+                "batch_stats": state.batch_stats["backbone"],
+            },
+            conv,
+        )
+        seg_params = dict(state.seg_params)
+        seg_params["backbone"] = merged["params"]
+        batch_stats = dict(state.batch_stats)
+        batch_stats["backbone"] = merged["batch_stats"]
+        return state.replace(seg_params=seg_params, batch_stats=batch_stats)
+
+    # ------------------------------------------------------------------
+    def _make_steps(self):
+        step = make_train_step(self.segmentor, self.discriminator, self.step_cfg)
+        ev = make_eval_step(self.segmentor, self.cfg.model.num_classes)
+        if self.cfg.train.data_parallel:
+            from octave_tpu.parallel.mesh import (
+                make_mesh,
+                make_parallel_eval_step,
+                make_parallel_train_step,
+            )
+
+            self.mesh = make_mesh(self.cfg.train.n_devices)
+            self.train_step = make_parallel_train_step(step, self.mesh)
+            self.eval_step = make_parallel_eval_step(ev, self.mesh)
+        else:
+            self.train_step = jax.jit(step, donate_argnums=(0,))
+            self.eval_step = jax.jit(ev)
+
+    def _device_batch(self, host_batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        cfg = self.cfg
+        batch = prepare_batch(
+            jnp.asarray(host_batch["image"]),
+            jnp.asarray(host_batch["scribble"]),
+            jnp.asarray(host_batch["mask"]),
+            size=tuple(cfg.data.image_size),
+            num_classes=cfg.model.num_classes,
+            depth=max(cfg.model.discriminator_depth, 1),
+            in_channels=cfg.data.in_channels,
+        )
+        if self.mesh is not None:
+            from octave_tpu.parallel.mesh import shard_batch
+
+            batch = shard_batch(batch, self.mesh)
+        return batch
+
+    # ------------------------------------------------------------------
+    def fit(self, state: Optional[TrainState] = None) -> TrainState:
+        cfg = self.cfg
+        state = state if state is not None else self.init_state()
+
+        ckpt = None
+        if cfg.train.checkpoint_dir:
+            from octave_tpu.utils.checkpoint import CheckpointManager
+
+            ckpt = CheckpointManager(cfg.train.checkpoint_dir)
+            restored = ckpt.restore_latest(state)
+            if restored is not None:
+                state = restored
+                log.info("resumed from step %d", int(state.step))
+
+        train_ds = build_dataset(cfg, "train")
+        it = ds.batch_iterator(train_ds, cfg.data.batch_size, seed=cfg.train.seed)
+
+        if cfg.train.profile_dir:
+            jax.profiler.start_trace(cfg.train.profile_dir)
+
+        t0 = time.perf_counter()
+        window = []
+        try:
+            for host_batch in it:
+                if int(state.step) >= cfg.train.steps:
+                    break
+                batch = self._device_batch(host_batch)
+                state, losses = self.train_step(state, batch)
+                window.append(losses)
+                step = int(state.step)
+                if step % cfg.train.log_every == 0:
+                    mean = {
+                        k: float(np.mean([float(l[k]) for l in window]))
+                        for k in window[-1]
+                    }
+                    dt = time.perf_counter() - t0
+                    ips = cfg.data.batch_size * len(window) / dt
+                    log.info("step %d  %s  %.1f img/s", step,
+                             "  ".join(f"{k}={v:.4f}" for k, v in mean.items()), ips)
+                    window, t0 = [], time.perf_counter()
+                if ckpt is not None and step % cfg.train.checkpoint_every == 0:
+                    ckpt.save(step, state)
+                if cfg.train.eval_every and step % cfg.train.eval_every == 0:
+                    self.evaluate(state)
+        finally:
+            if cfg.train.profile_dir:
+                jax.profiler.stop_trace()
+            if ckpt is not None:
+                ckpt.save(int(state.step), state)
+                ckpt.wait()
+                ckpt.close()
+        return state
+
+    # ------------------------------------------------------------------
+    def evaluate(self, state: TrainState) -> Dict[str, float]:
+        cfg = self.cfg
+        eval_ds = build_dataset(cfg, "test")
+        results = []
+        for host_batch in ds.batch_iterator(
+            eval_ds, cfg.data.batch_size, shuffle=False, epochs=1, drop_last=True
+        ):
+            batch = self._device_batch(host_batch)
+            _, metrics = self.eval_step(state.seg_params, state.batch_stats, batch)
+            results.append({k: float(v) for k, v in metrics.items()})
+        agg = {k: float(np.mean([r[k] for r in results])) for k in results[0]} if results else {}
+        log.info("eval  %s", "  ".join(f"{k}={v:.4f}" for k, v in agg.items()))
+        return agg

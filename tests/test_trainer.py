@@ -1,0 +1,73 @@
+"""End-to-end harness tests: trainer fit/eval on synthetic data, checkpoint
+save/resume, config round trip, CLI override parsing."""
+import os
+
+import numpy as np
+import pytest
+
+from octave_tpu.utils.config import Config
+
+
+def _tiny_cfg(tmp_path=None, **over):
+    cfg = Config.from_dict(
+        {
+            "model": {"discriminator_depth": 4, "num_filters": 8},
+            "data": {"dataset": "synthetic", "image_size": (32, 32),
+                     "batch_size": 2, "synthetic_n": 6},
+            "train": {"steps": 3, "eval_every": 0, "log_every": 10,
+                      "checkpoint_every": 2},
+            "optim": {"decay_steps": 10},
+        }
+    )
+    if over:
+        cfg = cfg.apply_overrides(over)
+    if tmp_path is not None:
+        cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    return cfg
+
+
+class TestConfig:
+    def test_round_trip_and_overrides(self):
+        cfg = _tiny_cfg()
+        assert cfg.model.num_classes == 2  # reference default (octa.py:23)
+        assert cfg.model.segmentor_gating_level == 4
+        assert cfg.model.discriminator_depth == 4
+        cfg2 = cfg.apply_overrides({"data.batch_size": "16", "model.weakly_supervise": "false"})
+        assert cfg2.data.batch_size == 16
+        assert cfg2.model.weakly_supervise is False
+        with pytest.raises(KeyError):
+            cfg.apply_overrides({"data.nonexistent": 1})
+
+    def test_json_load(self, tmp_path):
+        p = tmp_path / "c.json"
+        p.write_text('{"data": {"batch_size": 4}}')
+        assert Config.load(str(p)).data.batch_size == 4
+
+
+@pytest.mark.slow
+class TestTrainer:
+    def test_fit_eval_synthetic(self, tmp_path):
+        from octave_tpu.train.trainer import Trainer
+
+        trainer = Trainer(_tiny_cfg(tmp_path))
+        state = trainer.fit()
+        assert int(state.step) == 3
+        metrics = trainer.evaluate(state)
+        for k in ("dice", "auc"):
+            assert 0.0 <= metrics[k] <= 1.0
+
+        # checkpoint resume: a fresh trainer restores the saved step
+        trainer2 = Trainer(_tiny_cfg(tmp_path))
+        s2 = trainer2.init_state()
+        from octave_tpu.utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        restored = mgr.restore_latest(s2)
+        assert restored is not None
+        assert int(restored.step) == 3
+        # restored params identical to the final state
+        import jax
+
+        for a, b in zip(jax.tree.leaves(state.seg_params), jax.tree.leaves(restored.seg_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        mgr.close()
