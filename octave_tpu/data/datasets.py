@@ -30,7 +30,17 @@ _IMG_EXTS = (".png", ".tif", ".tiff", ".bmp", ".jpg", ".jpeg", ".gif")
 
 
 def _load_image(path: str) -> np.ndarray:
-    """Read an image file to a (h,w) or (h,w,c) uint8 array."""
+    """Read an image file to a (h,w) or (h,w,c) uint8 array.
+
+    Prefers the framework's native C++ decoder (octave_tpu/data/_native/
+    loader.cpp — PNG/BMP/PGM, threaded); falls back to pillow/imageio."""
+    from octave_tpu.data import native
+
+    if native.available():
+        try:
+            return native.decode_image(path)
+        except IOError:
+            pass  # unsupported format (e.g. tiff) → python fallbacks
     try:
         from PIL import Image  # optional dep
 
@@ -45,8 +55,8 @@ def _load_image(path: str) -> np.ndarray:
     except ImportError:
         pass
     raise RuntimeError(
-        f"No image reader available for {path}: install pillow or imageio, "
-        "or use SyntheticOcta."
+        f"No image reader available for {path}: the native loader couldn't "
+        "decode it and pillow/imageio are not installed."
     )
 
 

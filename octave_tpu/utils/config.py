@@ -130,7 +130,10 @@ class Config:
             if leaf not in cur:
                 raise KeyError(f"unknown config key: {key}")
             old = cur[leaf]
-            if old is not None and not isinstance(old, (list, tuple, dict)) and not isinstance(val, type(old)):
+            if isinstance(old, (list, tuple)) and isinstance(val, str):
+                # CLI list syntax: [a,b] or a,b
+                val = [json.loads(v) for v in val.strip("[]() ").split(",") if v]
+            elif old is not None and not isinstance(old, (list, tuple, dict)) and not isinstance(val, type(old)):
                 # coerce CLI strings to the field's type
                 if isinstance(old, bool):
                     val = str(val).lower() in ("1", "true", "yes")

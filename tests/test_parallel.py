@@ -49,11 +49,16 @@ def test_data_parallel_matches_single_device():
     rng = np.random.default_rng(0)
     batch = _batch(rng, NDEV * 1)
 
-    # single-device reference
+    import optax
+
+    # single-device reference. SGD, not Adam: Adam's first-step m/sqrt(v) is
+    # sign-like, so fp32 reduction-order noise between the 8-way psum and the
+    # single-device sum would flip near-zero updates by ±lr — SGD keeps the
+    # comparison about sharding semantics, not optimizer conditioning.
     seg1 = ResnestUNet(num_classes=2)
     key = jax.random.PRNGKey(0)
     v1 = seg1.init(key, batch["image"], True)
-    tx = make_optimizer(1e-3)
+    tx = optax.sgd(0.1)
     st1 = TrainState.create(seg_params=v1["params"], batch_stats=v1["batch_stats"],
                             seg_tx=tx, rng=jax.random.PRNGKey(7))
     cfg1 = StepConfig(num_classes=2, use_discriminator=False)
