@@ -5,27 +5,25 @@ Prints ONE JSON line:
 
 Baseline (BASELINE.md): ≥5,000 images/sec on a v5e-8 → 625 images/sec/chip.
 
-Measurement design: K forwards are chained INSIDE one device program with
-`lax.scan`, each iteration's input perturbed by the previous prediction so
-XLA cannot hoist the forward out of the loop; one program execution is timed
-end-to-end. This measures pure device throughput, independent of host/tunnel
-dispatch latency, and cannot over-count unserialised async dispatches.
+Measurement design: one jitted forward per timed call, each call forcing a
+host transfer of a slice of the prediction so the timing cannot over-count
+unserialised async dispatches. Median of several steady-state reps after
+warmup.
 """
 from __future__ import annotations
 
 import json
+import statistics
 import time
 
 
 PER_CHIP_BASELINE = 5000.0 / 8.0
-K_INNER = 16
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from jax import lax
 
     from octave_tpu.models.segmentor import ResnestUNet
 
@@ -46,38 +44,25 @@ def main() -> None:
                               method=ResnestUNet.predict)
         return pred
 
-    def chained(params, image):
-        def body(carry, _):
-            pred = forward(params, carry)
-            # feed a prediction-dependent perturbation forward: defeats
-            # loop-invariant code motion at negligible cost
-            nxt = carry + (pred[..., :1] * jnp.bfloat16(1e-6))
-            return nxt, pred[0, 0, 0, 0]
-
-        final, taps = lax.scan(body, image, None, length=K_INNER)
-        return final, taps
-
-    fn = jax.jit(chained)
+    fn = jax.jit(forward)
     xs = jnp.asarray(
         np.random.default_rng(0).uniform(0, 1, (batch, hw, hw, 3))
     ).astype(jnp.bfloat16)
 
-    # compile + warmup
-    out = fn(bf16_vars, xs)
-    jax.block_until_ready(out)
+    # compile + warmup (2 runs: the first post-compile exec can be slow)
+    for _ in range(2):
+        np.asarray(fn(bf16_vars, xs)[0, 0, 0, :])
 
-    reps = 5
-    best = float("inf")
-    for _ in range(reps):
+    times = []
+    for _ in range(8):
         t0 = time.perf_counter()
         out = fn(bf16_vars, xs)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    ips = batch * K_INNER / best
+        tap = np.asarray(out[0, 0, 0, :])  # force real completion + transfer
+        times.append(time.perf_counter() - t0)
+    dt = statistics.median(times)
+    ips = batch / dt
 
-    # sanity: outputs finite and probability-like
-    taps = np.asarray(out[1], np.float32)
-    assert np.all(np.isfinite(taps)) and np.all((taps >= 0) & (taps <= 1)), taps
+    assert np.all(np.isfinite(tap)) and abs(float(tap.sum()) - 1.0) < 1e-2, tap
 
     print(json.dumps({
         "metric": "304x304 en-face inference images/sec/chip (ResnestUNet bf16)",

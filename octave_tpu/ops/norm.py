@@ -55,7 +55,9 @@ class BatchNorm(nn.Module):
         )
 
         if train:
-            xf = x.astype(jnp.float32)
+            # accumulate statistics in at-least-f32 (bf16 inputs upcast;
+            # f64 preserved for numerical testing)
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
             mean = jnp.mean(xf, axis=(0, 1, 2))
             mean2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
             n = x.shape[0] * x.shape[1] * x.shape[2]

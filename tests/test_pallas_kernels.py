@@ -1,0 +1,55 @@
+"""Pallas kernels vs their pure-XLA references (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from octave_tpu.ops.pallas.aag import fused_aag
+
+
+def _reference_aag(x, w, b):
+    logits = jnp.einsum("bhwc,ck->bhwk", x, w) + b
+    yhat = jax.nn.softmax(logits, axis=-1)
+    mask = jnp.sum(yhat[..., 1:], axis=-1, keepdims=True)
+    return x * mask, yhat
+
+
+class TestFusedAAG:
+    @pytest.mark.parametrize("shape,k", [((2, 19, 19, 32), 2), ((1, 10, 13, 64), 3)])
+    def test_forward_matches_reference(self, rng, shape, k):
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((shape[-1], k)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((k,)) * 0.1, jnp.float32)
+        out, yhat = fused_aag(x, w, b)
+        ref_out, ref_yhat = _reference_aag(x, w, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(yhat), np.asarray(ref_yhat), atol=1e-6)
+
+    def test_grad_matches_reference(self, rng):
+        shape, k = (1, 8, 8, 16), 2
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((shape[-1], k)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((k,)) * 0.1, jnp.float32)
+
+        def loss_fused(x, w, b):
+            out, yhat = fused_aag(x, w, b)
+            return jnp.sum(out**2) + jnp.sum(yhat * jnp.cos(yhat))
+
+        def loss_ref(x, w, b):
+            out, yhat = _reference_aag(x, w, b)
+            return jnp.sum(out**2) + jnp.sum(yhat * jnp.cos(yhat))
+
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, b)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+        for a, r in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-4)
+
+    def test_non_tile_aligned_rows(self, rng):
+        # 3*7*7 = 147 rows: not a multiple of the 512-row tile
+        x = jnp.asarray(rng.standard_normal((3, 7, 7, 8)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((8, 2)) * 0.1, jnp.float32)
+        b = jnp.zeros((2,), jnp.float32)
+        out, yhat = fused_aag(x, w, b)
+        ref_out, ref_yhat = _reference_aag(x, w, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(yhat), np.asarray(ref_yhat), atol=1e-6)
