@@ -22,6 +22,8 @@ from octave_tpu.train.schedule import make_optimizer, polynomial_decay
 from octave_tpu.train.state import TrainState
 from octave_tpu.train.steps import StepConfig, make_eval_step, make_train_step
 from octave_tpu.utils.config import Config
+from octave_tpu.utils.logging import MetricsLogger
+from octave_tpu.utils.profiling import StepTimer
 
 log = logging.getLogger("octave_tpu")
 
@@ -205,6 +207,8 @@ class Trainer:
 
         train_ds = build_dataset(cfg, "train")
         it = ds.batch_iterator(train_ds, cfg.data.batch_size, seed=cfg.train.seed)
+        mlog = MetricsLogger(cfg.train.log_dir) if cfg.train.log_dir else None
+        timer = StepTimer()
 
         if cfg.train.profile_dir:
             jax.profiler.start_trace(cfg.train.profile_dir)
@@ -217,6 +221,7 @@ class Trainer:
                     break
                 batch = self._device_batch(host_batch)
                 state, losses = self.train_step(state, batch)
+                timer.tick()
                 window.append(losses)
                 step = int(state.step)
                 if step % cfg.train.log_every == 0:
@@ -228,6 +233,9 @@ class Trainer:
                     ips = cfg.data.batch_size * len(window) / dt
                     log.info("step %d  %s  %.1f img/s", step,
                              "  ".join(f"{k}={v:.4f}" for k, v in mean.items()), ips)
+                    if mlog is not None:
+                        mlog.log(step, {**mean, **timer.stats(cfg.data.batch_size)},
+                                 prefix="train/")
                     window, t0 = [], time.perf_counter()
                 if ckpt is not None and step % cfg.train.checkpoint_every == 0:
                     ckpt.save(step, state)
@@ -240,6 +248,8 @@ class Trainer:
                 ckpt.save(int(state.step), state)
                 ckpt.wait()
                 ckpt.close()
+            if mlog is not None:
+                mlog.close()
         return state
 
     # ------------------------------------------------------------------

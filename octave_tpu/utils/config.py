@@ -69,6 +69,7 @@ class TrainConfig:
     data_parallel: bool = False
     n_devices: Optional[int] = None
     profile_dir: Optional[str] = None
+    log_dir: Optional[str] = None
     debug_nans: bool = False
 
 

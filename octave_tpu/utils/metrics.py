@@ -128,6 +128,32 @@ def auc_exact(scores, target) -> float:
     return float(u / (n_pos * n_neg))
 
 
+def cl_dice(pred: "np.ndarray", target: "np.ndarray") -> float:
+    """centerline-Dice (topology-aware vessel metric): harmonic mean of
+    topology precision/sensitivity computed on morphological skeletons.
+    Host-side (rank/skeleton ops don't jit); used by the eval harness next to
+    Dice/AUC for the vessel benchmarks."""
+    import numpy as np
+    from scipy.ndimage import binary_erosion, binary_opening
+
+    def skel(m):
+        m = m.astype(bool)
+        out = np.zeros_like(m)
+        er = m
+        while er.any():
+            out |= er & ~binary_opening(er)
+            er = binary_erosion(er)
+        return out
+
+    p = np.asarray(pred).astype(bool)
+    t = np.asarray(target).astype(bool)
+    sp, st = skel(p), skel(t)
+    eps = 1e-12
+    tprec = (sp & t).sum() / (sp.sum() + eps)
+    tsens = (st & p).sum() / (st.sum() + eps)
+    return float(2 * tprec * tsens / (tprec + tsens + eps))
+
+
 @jax.jit
 def eval_step_metrics(
     probs: jax.Array, target: jax.Array, threshold: float = 0.5

@@ -238,7 +238,7 @@ def test_data_parallel_matches_single_device():
     rel = (num / max(den, 1e-30)) ** 0.5
     assert rel < 0.10, f"relative update divergence {rel:.4f}"  # fp32 depth noise; exactness proven in fp64
     for b1, b8 in zip(jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s8.batch_stats)):
-        np.testing.assert_allclose(np.asarray(b1), np.asarray(b8), rtol=0, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b8), rtol=3e-3, atol=1e-3)
 
 
 @pytest.mark.slow
