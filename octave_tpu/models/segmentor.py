@@ -35,17 +35,54 @@ from octave_tpu.ops.common import adaptive_avg_pool2d
 from octave_tpu.ops.norm import BatchNorm
 
 
+class _AAGLeaf(nn.Module):
+    """Parameter-only leaf reproducing nn.Conv's {kernel, bias} naming."""
+
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        from octave_tpu.ops.common import kaiming_uniform_torch, torch_conv_bias_init
+
+        k = self.param("kernel", kaiming_uniform_torch(), (1, 1, self.in_ch, self.out_ch))
+        b = self.param("bias", torch_conv_bias_init(self.in_ch), (self.out_ch,))
+        return k, b
+
+
+class _AAGParams(nn.Module):
+    """Holder matching the Conv wrapper's extra 'conv' level in the path."""
+
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        return _AAGLeaf(self.in_ch, self.out_ch, name="conv")()
+
+
 class AdversarialAttentionGate(nn.Module):
     """AAG (blocks.py:12-46): 1x1 conv → per-pixel softmax over classes →
     attention mask = sum of non-background channels → hadamard with input.
 
-    Returns (masked_x, y_hat)."""
+    Returns (masked_x, y_hat). With use_pallas=True the whole gate runs as
+    one fused VMEM-resident kernel (octave_tpu/ops/pallas/aag.py) — one read
+    of x instead of four HBM round trips."""
 
     in_channels: int
     out_channels: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        if self.use_pallas:
+            from octave_tpu.ops.pallas.aag import fused_aag
+
+            # identical parameter tree to the Conv path (conv1/conv/{kernel,
+            # bias}) so checkpoints and the torch converter are oblivious to
+            # the flag
+            k, b = _AAGParams(self.in_channels, self.out_channels, name="conv1")()
+            return fused_aag(x, k.reshape(self.in_channels, self.out_channels), b)
         x_prime = Conv(self.out_channels, 1, 1, 0, name="conv1")(x)
         y_hat = jax.nn.softmax(x_prime, axis=-1)
         attention_mask = jnp.sum(y_hat[..., 1:], axis=-1, keepdims=True)
@@ -112,6 +149,7 @@ class ResnestUNet(nn.Module):
     gating_level: int = 4
     encoder_gating: bool = False
     bn_axis_name: Optional[str] = None
+    use_pallas_aag: bool = False
 
     def setup(self):
         ax = self.bn_axis_name
@@ -126,23 +164,23 @@ class ResnestUNet(nn.Module):
 
         self.upsampling_0 = Upsampling(64, 64, name="upsampling_0")
         self.decoder_0 = ResNestDecoder(64, 32, bn_axis_name=ax, name="decoder_0")
-        self.aag_0 = AdversarialAttentionGate(32, self.num_classes, name="aag_0")
+        self.aag_0 = AdversarialAttentionGate(32, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_0")
 
         self.upsampling_1 = Upsampling(256, 64, name="upsampling_1")
         self.decoder_1 = ResNestDecoder(128, 64, bn_axis_name=ax, name="decoder_1")
-        self.aag_1 = AdversarialAttentionGate(64, self.num_classes, name="aag_1")
+        self.aag_1 = AdversarialAttentionGate(64, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_1")
 
         self.upsampling_2 = Upsampling(512, 256, name="upsampling_2")
         self.decoder_2 = ResNestDecoder(512, 256, bn_axis_name=ax, name="decoder_2")
-        self.aag_2 = AdversarialAttentionGate(256, self.num_classes, name="aag_2")
+        self.aag_2 = AdversarialAttentionGate(256, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_2")
 
         self.upsampling_3 = Upsampling(1024, 512, name="upsampling_3")
         self.decoder_3 = ResNestDecoder(1024, 512, bn_axis_name=ax, name="decoder_3")
-        self.aag_3 = AdversarialAttentionGate(512, self.num_classes, name="aag_3")
+        self.aag_3 = AdversarialAttentionGate(512, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_3")
 
         self.upsampling_4 = Upsampling(2048, 1024, name="upsampling_4")
         self.decoder_4 = ResNestDecoder(2048, 1024, bn_axis_name=ax, name="decoder_4")
-        self.aag_4 = AdversarialAttentionGate(1024, self.num_classes, name="aag_4")
+        self.aag_4 = AdversarialAttentionGate(1024, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_4")
 
         self.fc = Conv(self.num_classes, 1, 1, 0, name="fc")
 
@@ -358,31 +396,32 @@ class ResnestUnetParallelHeadAttentionGate(nn.Module):
     num_classes: int
     gating_level: int = 3
     bn_axis_name: Optional[str] = None
+    use_pallas_aag: bool = False
 
     def setup(self):
         ax = self.bn_axis_name
         self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax, name="backbone")
         self.upsampling_0 = Upsampling(64, 64, name="upsampling_0")
         self.decoder_0 = ResNestDecoder(64, 32, bn_axis_name=ax, name="decoder_0")
-        self.aag_0 = AdversarialAttentionGate(32, self.num_classes, name="aag_0")
+        self.aag_0 = AdversarialAttentionGate(32, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_0")
         self.upsampling_1 = Upsampling(256, 64, name="upsampling_1")
         self.decoder_1 = ResNestDecoder(128, 64, bn_axis_name=ax, name="decoder_1")
-        self.aag_1 = AdversarialAttentionGate(64, self.num_classes, name="aag_1")
+        self.aag_1 = AdversarialAttentionGate(64, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_1")
         self.upsampling_2 = Upsampling(512, 256, name="upsampling_2")
         self.decoder_2 = ResNestDecoder(512, 256, bn_axis_name=ax, name="decoder_2")
-        self.aag_2 = AdversarialAttentionGate(256, self.num_classes, name="aag_2")
+        self.aag_2 = AdversarialAttentionGate(256, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_2")
         self.upsampling_3 = Upsampling(1024, 512, name="upsampling_3")
         self.decoder_3 = ResNestDecoder(1024, 512, bn_axis_name=ax, name="decoder_3")
-        self.aag_3 = AdversarialAttentionGate(512, self.num_classes, name="aag_3")
+        self.aag_3 = AdversarialAttentionGate(512, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_3")
         self.upsampling_4 = Upsampling(2048, 1024, name="upsampling_4")
         self.decoder_4 = ResNestDecoder(2048, 1024, bn_axis_name=ax, name="decoder_4")
-        self.aag_4 = AdversarialAttentionGate(1024, self.num_classes, name="aag_4")
+        self.aag_4 = AdversarialAttentionGate(1024, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_4")
         self.upsampling_1_c = Upsampling(256, 64, name="upsampling_1_c")
         self.decoder_1_c = ResNestDecoder(128, 64, bn_axis_name=ax, name="decoder_1_c")
-        self.aag_1_c = AdversarialAttentionGate(64, self.num_classes, name="aag_1_c")
+        self.aag_1_c = AdversarialAttentionGate(64, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_1_c")
         self.upsampling_0_c = Upsampling(64, 64, name="upsampling_0_c")
         self.decoder_0_c = ResNestDecoder(64, 32, bn_axis_name=ax, name="decoder_0_c")
-        self.aag_0_c = AdversarialAttentionGate(32, self.num_classes, name="aag_0_c")
+        self.aag_0_c = AdversarialAttentionGate(32, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_0_c")
         self.fc = Conv(self.num_classes, 1, 1, 0, name="fc")
         self.fc_c = Conv(self.num_classes, 1, 1, 0, name="fc_c")
 

@@ -21,6 +21,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host init over DCN for pod slices (SURVEY.md §2.3): the same
+    1-D data mesh then spans all hosts' devices. On single-host (or when the
+    env provides the cluster config, e.g. GKE/TPU-VM metadata) the arguments
+    can be omitted."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     """1-D data mesh over the first n (default: all) local devices."""
     devs = jax.devices()

@@ -195,6 +195,21 @@ class Trainer:
         cfg = self.cfg
         state = state if state is not None else self.init_state()
 
+        # preemption safety: a TPU maintenance SIGTERM triggers a final
+        # checkpoint save before exit (SURVEY.md §5 failure-detection row)
+        import signal
+
+        preempted = {"flag": False}
+
+        def _on_sigterm(signum, frame):
+            preempted["flag"] = True
+
+        prev_handler = None
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:
+            pass  # not on the main thread
+
         ckpt = None
         if cfg.train.checkpoint_dir:
             from octave_tpu.utils.checkpoint import CheckpointManager
@@ -218,6 +233,10 @@ class Trainer:
         try:
             for host_batch in it:
                 if int(state.step) >= cfg.train.steps:
+                    break
+                if preempted["flag"]:
+                    log.warning("SIGTERM received — saving and stopping at step %d",
+                                int(state.step))
                     break
                 batch = self._device_batch(host_batch)
                 state, losses = self.train_step(state, batch)
@@ -250,6 +269,10 @@ class Trainer:
                 ckpt.close()
             if mlog is not None:
                 mlog.close()
+            if prev_handler is not None:
+                import signal as _s
+
+                _s.signal(_s.SIGTERM, prev_handler)
         return state
 
     # ------------------------------------------------------------------
