@@ -127,6 +127,11 @@ def prepare_batch(
     """
     img = resize_or_pad(normalize_image(image), size)
     img = grayscale_to_channels(img, in_channels)
+    # label maps resize with NEAREST (bilinear would invent labels)
+    if scribble.shape[1:3] != size:
+        scribble = nearest_resize(scribble[..., None], size)[..., 0]
+    if full_mask.shape[1:3] != size:
+        full_mask = nearest_resize(full_mask[..., None], size)[..., 0]
     scrib = scribble_to_onehot(scribble, num_classes)
     dense = mask_to_onehot(full_mask, num_classes)
     pyr = mask_pyramid(dense, depth)
