@@ -46,6 +46,16 @@ def _pair(v) -> Tuple[int, int]:
     return (v, v)
 
 
+def conv3x3(features: int, strides: int = 1, name: str = None) -> "Conv":
+    """3x3 same-padded conv factory (resnest.py:11-16)."""
+    return Conv(features, 3, strides, 1, use_bias=False, name=name)
+
+
+def global_avg_pool_2d(x: jax.Array) -> jax.Array:
+    """GlobalAvgPool2d (resnest.py:269-275): NHWC → (B, C)."""
+    return jnp.mean(x, axis=(1, 2))
+
+
 class Conv(nn.Module):
     """2D conv over NHWC with torch-default init and explicit padding."""
 

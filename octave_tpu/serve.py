@@ -1,0 +1,100 @@
+"""Inference serving: a double-buffered predictor that overlaps host IO with
+device compute.
+
+The framework's production inference path (BASELINE.json north star: ≥5k
+304² images/sec on v5e-8). Design:
+  * bf16 weights/activations (MXU-native),
+  * params passed as jit arguments (small HLO, relay-friendly),
+  * asynchronous dispatch pipelining — the host enqueues batch i+1 while the
+    device runs batch i, hiding per-call dispatch latency behind device time,
+  * optional data-parallel fan-out over a device mesh.
+"""
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from octave_tpu.models.segmentor import ResnestUNet
+
+
+class Predictor:
+    """Batched OCTA vessel predictor around ResnestUNet.predict."""
+
+    def __init__(
+        self,
+        variables,
+        num_classes: int = 2,
+        method: str = "softmax",
+        dtype=jnp.bfloat16,
+        use_pallas_aag: bool = False,
+        mesh=None,
+    ):
+        self.model = ResnestUNet(num_classes=num_classes, use_pallas_aag=use_pallas_aag)
+        self.method = method
+        self.dtype = dtype
+        if dtype == jnp.bfloat16:
+            variables = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+                variables,
+            )
+        self.variables = variables
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            self.variables = jax.tree.map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P())), self.variables
+            )
+
+        def fwd(params, image):
+            _, pred = self.model.apply(
+                params, image.astype(dtype), method, False,
+                method=ResnestUNet.predict,
+            )
+            return pred.astype(jnp.float32)
+
+        self._fn = jax.jit(fwd)
+
+    @classmethod
+    def initialize(cls, image_hw: Tuple[int, int] = (304, 304), seed: int = 0, **kw):
+        """Fresh (random-weight) predictor — weights usually come from a
+        checkpoint (orbax) or the torch converter instead."""
+        model = ResnestUNet(num_classes=kw.get("num_classes", 2))
+        x = jnp.zeros((1, *image_hw, 3), jnp.float32)
+        variables = jax.jit(model.init, static_argnums=(2,))(
+            jax.random.PRNGKey(seed), x, False
+        )
+        return cls(variables, **kw)
+
+    def _put(self, batch: np.ndarray) -> jax.Array:
+        x = jnp.asarray(batch, self.dtype)
+        if self.mesh is not None:
+            x = jax.device_put(x, self._batch_sharding)
+        return x
+
+    def __call__(self, batch: np.ndarray) -> np.ndarray:
+        """Synchronous single-batch prediction (b,h,w,3) → (b,h,w,c)."""
+        return np.asarray(self._fn(self.variables, self._put(batch)))
+
+    def predict_stream(
+        self, batches: Iterable[np.ndarray], depth: int = 2
+    ) -> Iterator[np.ndarray]:
+        """Pipelined prediction over a batch stream.
+
+        Keeps up to `depth` dispatches in flight: the device executes batch i
+        while the host uploads i+1 and downloads i-1 — steady-state
+        throughput approaches pure device time.
+        """
+        from collections import deque
+
+        inflight: deque = deque()
+        for batch in batches:
+            inflight.append(self._fn(self.variables, self._put(batch)))
+            if len(inflight) > depth:
+                yield np.asarray(inflight.popleft())
+        while inflight:
+            yield np.asarray(inflight.popleft())

@@ -1,0 +1,19 @@
+"""Serving predictor: sync + pipelined streams give identical results."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from octave_tpu.serve import Predictor
+
+
+@pytest.mark.slow
+def test_predictor_sync_and_stream(rng):
+    pred = Predictor.initialize(image_hw=(32, 32), dtype=jnp.float32)
+    batches = [rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32) for _ in range(4)]
+    sync = [pred(b) for b in batches]
+    stream = list(pred.predict_stream(iter(batches), depth=2))
+    assert len(stream) == 4
+    for s, t in zip(sync, stream):
+        np.testing.assert_allclose(s, t, atol=1e-6)
+    assert sync[0].shape == (2, 32, 32, 2)
+    np.testing.assert_allclose(sync[0].sum(-1), 1.0, atol=1e-5)
