@@ -95,6 +95,52 @@ def image_mse_loss(y_h: jax.Array, y: jax.Array) -> jax.Array:
     return jnp.mean(jnp.square(y_h.reshape(-1) - y.reshape(-1).astype(y_h.dtype)))
 
 
+def _sum_pool(x: jax.Array, factor: int) -> jax.Array:
+    """Sum over non-overlapping factor×factor blocks (NHWC)."""
+    b, h, w, c = x.shape
+    return jnp.sum(
+        x.reshape(b, h // factor, factor, w // factor, factor, c), axis=(2, 4)
+    )
+
+
+def interlayer_divergence_pooled(
+    attentions: Sequence[jax.Array],
+    weights: Optional[Sequence[float]] = None,
+    stop_gradient: bool = False,
+) -> jax.Array:
+    """Bandwidth-optimal KLD-mode ILD, exactly equal (mod fp reassociation)
+    to interlayer_divergence when every deeper map's scale divides the basis.
+
+    Key identity: nearest upscale by an integer factor is `repeat`, so
+        Σ_p basis(p)·log(resize(att)*w)(p) = Σ_s sumpool(basis)(s)·log(att*w)(s)
+    — no full-resolution posterior is ever materialized (saves
+    (len(attentions)-1) full-res tensor reads+writes per step).
+    """
+    basis = jax.lax.stop_gradient(attentions[0]) if stop_gradient else attentions[0]
+    h, w = basis.shape[1], basis.shape[2]
+    rest = list(attentions[1:])
+    if weights is None:
+        weights = [1 for _ in rest]
+    else:
+        weights = list(weights)
+        if len(weights) != len(rest):
+            weights = weights[: len(attentions)]
+
+    n_pix = basis.shape[0] * h * w
+    # Σ_p basis·log(basis)
+    ent = jnp.sum(basis * jnp.log(basis + _EPS))
+    cross = 0.0
+    for att, weight in zip(rest, weights):
+        if weight == 0:
+            continue
+        ah, aw = att.shape[1], att.shape[2]
+        assert h % ah == 0 and w % aw == 0, "pooled ILD needs integer scales"
+        fb = _sum_pool(basis, h // ah) if (ah, aw) != (h, w) else basis
+        cross = cross + jnp.sum(fb * jnp.log(att * weight + _EPS))
+    m_cross = cross / sum(weights)
+    return (ent - m_cross) / n_pix
+
+
 def interlayer_divergence(
     attentions: Sequence[jax.Array],
     weights: Optional[Sequence[float]] = None,

@@ -34,6 +34,7 @@ from octave_tpu.losses.gan import ls_discriminator_loss, ls_generator_loss
 from octave_tpu.losses.segmentor import (
     dice_loss,
     interlayer_divergence,
+    interlayer_divergence_pooled,
     weighted_partial_ce,
 )
 from octave_tpu.models.discriminator import DiscriminatorBlock
@@ -52,6 +53,7 @@ class StepConfig:
     ild_weights: Optional[Tuple[float, ...]] = None
     ild_stop_gradient: bool = False
     ild_divergence: str = "KLD"
+    ild_impl: str = "pooled"  # 'pooled' (bandwidth-optimal, exact for integer scales) | 'resize'
     use_discriminator: bool = True
     discriminator_depth: int = 4
     supervise_attention0: bool = False  # also apply the supervised loss to atts[0]
@@ -105,12 +107,19 @@ def make_train_step(
             losses = {"loss_sup": l_sup}
             total = l_sup
             if cfg.lambda_ild > 0 and len(attentions) > 1:
-                l_ild = interlayer_divergence(
-                    attentions,
-                    weights=list(cfg.ild_weights) if cfg.ild_weights else None,
-                    stop_gradient=cfg.ild_stop_gradient,
-                    divergence=cfg.ild_divergence,
-                )
+                if cfg.ild_impl == "pooled" and cfg.ild_divergence == "KLD":
+                    l_ild = interlayer_divergence_pooled(
+                        attentions,
+                        weights=list(cfg.ild_weights) if cfg.ild_weights else None,
+                        stop_gradient=cfg.ild_stop_gradient,
+                    )
+                else:
+                    l_ild = interlayer_divergence(
+                        attentions,
+                        weights=list(cfg.ild_weights) if cfg.ild_weights else None,
+                        stop_gradient=cfg.ild_stop_gradient,
+                        divergence=cfg.ild_divergence,
+                    )
                 losses["loss_ild"] = l_ild
                 total = total + cfg.lambda_ild * l_ild
             if use_d:

@@ -188,3 +188,36 @@ class TestLSGAN:
         # golden: y_real=1, y_fake=-1 → D loss 0; y_fake=1 → G loss 0
         assert float(ls_discriminator_loss(jnp.ones((2, 1)), -jnp.ones((2, 1)))) == 0.0
         assert float(ls_generator_loss(jnp.ones((2, 1)))) == 0.0
+
+
+class TestPooledILD:
+    def test_pooled_equals_resize_impl(self, rng):
+        from octave_tpu.losses.segmentor import (
+            interlayer_divergence,
+            interlayer_divergence_pooled,
+        )
+
+        atts = []
+        for s in (16, 8, 4, 2, 1):
+            a = rng.uniform(0.01, 1.0, (2, s, s, 3)).astype(np.float32)
+            a /= a.sum(axis=-1, keepdims=True)
+            atts.append(jnp.asarray(a))
+        for weights in (None, [0.5, 0.0, 2.0, 1.0]):
+            ref = float(interlayer_divergence(atts, weights=weights))
+            fast = float(interlayer_divergence_pooled(atts, weights=weights))
+            assert abs(ref - fast) < 1e-5 * max(1.0, abs(ref)), (ref, fast)
+
+    def test_pooled_gradients_match(self, rng):
+        from octave_tpu.losses.segmentor import (
+            interlayer_divergence,
+            interlayer_divergence_pooled,
+        )
+
+        atts = []
+        for s in (8, 4, 2):
+            a = rng.uniform(0.01, 1.0, (1, s, s, 2)).astype(np.float32)
+            a /= a.sum(axis=-1, keepdims=True)
+            atts.append(jnp.asarray(a))
+        g_ref = jax.grad(lambda a0: interlayer_divergence([a0] + atts[1:]))(atts[0])
+        g_fast = jax.grad(lambda a0: interlayer_divergence_pooled([a0] + atts[1:]))(atts[0])
+        np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_fast), atol=1e-5)
