@@ -78,6 +78,64 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    """Segment a directory of images; writes per-image vessel-probability
+    maps as .npy files."""
+    import os
+
+    import numpy as np
+
+    from octave_tpu.data import native
+    from octave_tpu.data.datasets import _list_images
+    from octave_tpu.serve import Predictor
+    from octave_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = _load_cfg(args)
+    size = tuple(cfg.data.image_size)
+    paths = _list_images(args.images)
+    if not paths:
+        raise SystemExit(f"no images found in {args.images}")
+
+    pred = Predictor.initialize(image_hw=size, num_classes=cfg.model.num_classes)
+    if args.checkpoint:
+        from octave_tpu.train.trainer import Trainer
+
+        trainer = Trainer(cfg)
+        state = trainer.init_state()
+        mgr = CheckpointManager(args.checkpoint)
+        restored = mgr.restore_latest(state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint in {args.checkpoint}")
+        pred = Predictor(
+            {"params": restored.seg_params, "batch_stats": restored.batch_stats},
+            num_classes=cfg.model.num_classes,
+        )
+
+    os.makedirs(args.out, exist_ok=True)
+    bs = cfg.data.batch_size
+
+    def batches():
+        for i in range(0, len(paths), bs):
+            chunk = paths[i : i + bs]
+            imgs = native.load_batch(chunk, size) if native.available() else np.stack(
+                [np.zeros(size, np.uint8) for _ in chunk]
+            )
+            x = np.repeat((imgs.astype(np.float32) / 255.0)[..., None], 3, axis=-1)
+            yield x
+
+    i = 0
+    for out in pred.predict_stream(batches()):
+        for b in range(out.shape[0]):
+            if i >= len(paths):
+                break
+            name = os.path.splitext(os.path.basename(paths[i]))[0]
+            vessel = out[b, ..., 1] if out.shape[-1] > 1 else out[b, ..., 0]
+            np.save(os.path.join(args.out, name + "_prob.npy"), vessel)
+            i += 1
+    print(f"wrote {i} predictions to {args.out}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -105,6 +163,14 @@ def main(argv=None) -> int:
     sp.add_argument("--out", required=True)
     sp.add_argument("--no-fc", action="store_true")
     sp.set_defaults(fn=cmd_convert)
+
+    sp = sub.add_parser("predict")
+    sp.add_argument("--images", required=True, help="directory of input images")
+    sp.add_argument("--out", required=True, help="output directory")
+    sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--config", default=None)
+    sp.add_argument("overrides", nargs="*")
+    sp.set_defaults(fn=cmd_predict)
 
     sp = sub.add_parser("bench")
     sp.set_defaults(fn=cmd_bench)

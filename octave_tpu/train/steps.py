@@ -57,6 +57,7 @@ class StepConfig:
     use_discriminator: bool = True
     discriminator_depth: int = 4
     supervise_attention0: bool = False  # also apply the supervised loss to atts[0]
+    remat: bool = False  # rematerialize the segmentor forward (memory ↔ FLOPs)
     axis_name: Optional[str] = None
 
 
@@ -92,13 +93,20 @@ def make_train_step(
                 jax.random.fold_in(r, idx) for r in (r_g, r_fake, r_real)
             )
 
-        def seg_loss_fn(seg_params):
-            out, mut = segmentor.apply(
+        def _seg_forward(seg_params, image):
+            return segmentor.apply(
                 {"params": seg_params, "batch_stats": state.batch_stats},
-                batch["image"],
+                image,
                 True,
                 mutable=["batch_stats"],
             )
+
+        if cfg.remat:
+            # trade FLOPs for HBM: activations recomputed in the backward
+            _seg_forward = jax.checkpoint(_seg_forward)
+
+        def seg_loss_fn(seg_params):
+            out, mut = _seg_forward(seg_params, batch["image"])
             attentions, agg_map, _ = out
             probs = jax.nn.softmax(agg_map, axis=-1)
             l_sup = _supervised(cfg, probs, batch["scribble_onehot"])
