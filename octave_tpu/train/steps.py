@@ -58,6 +58,7 @@ class StepConfig:
     discriminator_depth: int = 4
     supervise_attention0: bool = False  # also apply the supervised loss to atts[0]
     remat: bool = False  # rematerialize the segmentor forward (memory ↔ FLOPs)
+    compute_dtype: Optional[str] = None  # e.g. 'bfloat16': MXU-native compute, fp32 master weights
     axis_name: Optional[str] = None
 
 
@@ -82,6 +83,16 @@ def make_train_step(
     octave_tpu.parallel.
     """
     use_d = cfg.use_discriminator and discriminator is not None
+    cdtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
+
+    def _cast(tree):
+        if cdtype is None:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(cdtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tree,
+        )
 
     def train_step(state: TrainState, batch: Dict[str, Any]):
         rng, r_g, r_fake, r_real = jax.random.split(state.rng, 4)
@@ -94,9 +105,11 @@ def make_train_step(
             )
 
         def _seg_forward(seg_params, image):
+            # mixed precision: cast INSIDE the differentiated fn so grads come
+            # back fp32 through the cast-transpose (fp32 master weights)
             return segmentor.apply(
-                {"params": seg_params, "batch_stats": state.batch_stats},
-                image,
+                {"params": _cast(seg_params), "batch_stats": state.batch_stats},
+                _cast(image),
                 True,
                 mutable=["batch_stats"],
             )
@@ -108,6 +121,9 @@ def make_train_step(
         def seg_loss_fn(seg_params):
             out, mut = _seg_forward(seg_params, batch["image"])
             attentions, agg_map, _ = out
+            # losses in fp32 regardless of compute dtype
+            attentions = tuple(a.astype(jnp.float32) for a in attentions)
+            agg_map = agg_map.astype(jnp.float32)
             probs = jax.nn.softmax(agg_map, axis=-1)
             l_sup = _supervised(cfg, probs, batch["scribble_onehot"])
             if cfg.supervise_attention0:
@@ -134,7 +150,7 @@ def make_train_step(
                 # generator phase: D in train mode; its power-iteration state
                 # update is discarded here (the discriminator phase owns it)
                 y_fake, _ = discriminator.apply(
-                    {"params": state.disc_params, "spectral": state.spectral},
+                    {"params": _cast(state.disc_params), "spectral": state.spectral},
                     list(attentions[: cfg.discriminator_depth + 1]),
                     True,
                     rngs={"noise": r_g},
@@ -170,14 +186,14 @@ def make_train_step(
 
             def disc_loss_fn(d_params):
                 y_fake, mut1 = discriminator.apply(
-                    {"params": d_params, "spectral": state.spectral},
+                    {"params": _cast(d_params), "spectral": state.spectral},
                     fake_pyramid,
                     True,
                     rngs={"noise": r_fake},
                     mutable=["spectral"],
                 )
                 y_real, mut2 = discriminator.apply(
-                    {"params": d_params, "spectral": mut1["spectral"]},
+                    {"params": _cast(d_params), "spectral": mut1["spectral"]},
                     list(batch["mask_pyramid"][: cfg.discriminator_depth + 1]),
                     True,
                     rngs={"noise": r_real},

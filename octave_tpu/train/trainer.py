@@ -78,6 +78,8 @@ class Trainer:
             ild_divergence=cfg.loss.ild_divergence,
             use_discriminator=self.discriminator is not None,
             discriminator_depth=m.discriminator_depth,
+            remat=cfg.train.remat,
+            compute_dtype=cfg.train.compute_dtype,
             axis_name=axis,
         )
         self.mesh = None

@@ -70,6 +70,8 @@ class TrainConfig:
     n_devices: Optional[int] = None
     profile_dir: Optional[str] = None
     log_dir: Optional[str] = None
+    compute_dtype: Optional[str] = None  # e.g. 'bfloat16'
+    remat: bool = False
     debug_nans: bool = False
 
 
