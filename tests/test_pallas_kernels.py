@@ -53,3 +53,19 @@ class TestFusedAAG:
         ref_out, ref_yhat = _reference_aag(x, w, b)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-5)
         np.testing.assert_allclose(np.asarray(yhat), np.asarray(ref_yhat), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_unet_with_pallas_aag_matches(rng):
+    """Full segmentor with use_pallas_aag: identical params + outputs."""
+    from octave_tpu.models.segmentor import ResnestUNet
+
+    x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
+    m0 = ResnestUNet(num_classes=2)
+    m1 = ResnestUNet(num_classes=2, use_pallas_aag=True)
+    v = m0.init(jax.random.PRNGKey(0), x, False)
+    atts0, agg0, _ = m0.apply(v, x, False)
+    atts1, agg1, _ = m1.apply(v, x, False)
+    np.testing.assert_allclose(np.asarray(agg0), np.asarray(agg1), atol=1e-5)
+    for a0, a1 in zip(atts0, atts1):
+        np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), atol=1e-5)
