@@ -92,6 +92,8 @@ class Config:
             fields = {f.name: f for f in dataclasses.fields(dc_cls)}
             kwargs = {}
             for k, v in (sub or {}).items():
+                if k.startswith("_"):
+                    continue  # comment keys
                 if k not in fields:
                     raise KeyError(f"unknown config key: {dc_cls.__name__}.{k}")
                 if isinstance(v, list):
@@ -99,6 +101,11 @@ class Config:
                 kwargs[k] = v
             return dc_cls(**kwargs)
 
+        unknown = {k for k in d if not k.startswith("_")} - {
+            "model", "data", "optim", "loss", "train"
+        }
+        if unknown:
+            raise KeyError(f"unknown config sections: {sorted(unknown)}")
         return cls(
             model=build(ModelConfig, d.get("model")),
             data=build(DataConfig, d.get("data")),
