@@ -21,8 +21,8 @@ every train/eval/bench path runs without the gated datasets.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
-from typing import Iterator, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 

@@ -19,7 +19,7 @@ Stochasticity contract (quirks preserved):
 """
 from __future__ import annotations
 
-from typing import Literal, Optional, Sequence, Tuple
+from typing import Literal, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ import warnings
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from octave_tpu.losses.gan import ls_discriminator_loss, ls_generator_loss

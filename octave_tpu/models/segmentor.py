@@ -18,7 +18,7 @@ trace time (both 304² → 19 and 400² → 25 hit it).
 """
 from __future__ import annotations
 
-from typing import Literal, Optional, Sequence, Tuple
+from typing import Literal, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

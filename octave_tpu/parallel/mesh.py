@@ -11,8 +11,7 @@ mesh over DCN.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np

@@ -11,7 +11,7 @@ The framework's production inference path (BASELINE.json north star: ≥5k
 """
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Optional, Tuple
+from typing import Iterable, Iterator, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ step jits as a single XLA graph and checkpoints as one orbax item.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import jax
 import optax

@@ -5,10 +5,9 @@ reference README.md:28-41 delegates this to Lightning+submitit off-tree).
 """
 from __future__ import annotations
 
-import dataclasses
 import logging
 import time
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ by the eval harness for the BASELINE.json configs #2-3.
 """
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

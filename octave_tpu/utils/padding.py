@@ -4,8 +4,6 @@ path but part of its public surface)."""
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
