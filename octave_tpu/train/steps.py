@@ -121,9 +121,10 @@ def make_train_step(
         def seg_loss_fn(seg_params):
             out, mut = _seg_forward(seg_params, batch["image"])
             attentions, agg_map, _ = out
-            # losses in fp32 regardless of compute dtype
-            attentions = tuple(a.astype(jnp.float32) for a in attentions)
-            agg_map = agg_map.astype(jnp.float32)
+            if cdtype is not None:
+                # mixed precision: losses in fp32
+                attentions = tuple(a.astype(jnp.float32) for a in attentions)
+                agg_map = agg_map.astype(jnp.float32)
             probs = jax.nn.softmax(agg_map, axis=-1)
             l_sup = _supervised(cfg, probs, batch["scribble_onehot"])
             if cfg.supervise_attention0:
