@@ -131,6 +131,10 @@ def cmd_predict(args) -> int:
             name = os.path.splitext(os.path.basename(paths[i]))[0]
             vessel = out[b, ..., 1] if out.shape[-1] > 1 else out[b, ..., 0]
             np.save(os.path.join(args.out, name + "_prob.npy"), vessel)
+            from octave_tpu.utils.imageio import write_png_gray
+
+            write_png_gray(os.path.join(args.out, name + "_mask.png"),
+                           (vessel >= 0.5).astype(np.uint8) * 255)
             i += 1
     print(f"wrote {i} predictions to {args.out}")
     return 0

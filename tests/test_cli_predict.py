@@ -26,6 +26,9 @@ def test_cli_predict_dir(tmp_path, rng):
     ])
     assert rc == 0
     outs = sorted(os.listdir(out_dir))
-    assert outs == ["im0_prob.npy", "im1_prob.npy", "im2_prob.npy"]
+    assert outs == ["im0_mask.png", "im0_prob.npy", "im1_mask.png", "im1_prob.npy",
+                    "im2_mask.png", "im2_prob.npy"]
+    m = native.decode_image(str(out_dir / "im0_mask.png"))
+    assert set(np.unique(m)) <= {0, 255}
     p = np.load(out_dir / "im0_prob.npy")
     assert p.shape == (32, 32) and 0.0 <= p.min() and p.max() <= 1.0
