@@ -12,8 +12,15 @@ The class count K (=2 for OCTA) rides the lane dimension zero-padded to the
 f32 tile width; the pad lanes are masked out of the softmax.
 
 Forward-only kernel + jax.custom_vjp with a pure-XLA backward (the backward
-is matmul-shaped and fuses well; inference throughput is what the fusion is
-for). Falls back to interpret mode off-TPU so tests run on CPU.
+is matmul-shaped and fuses well). Falls back to interpret mode off-TPU so
+tests run on CPU.
+
+Measured on v5e (batch 128, 304², full ResnestUNet): bit-exact vs the XLA
+path but ~20% slower end-to-end — XLA already fuses the gate chain into its
+producers, and the kernel's (512, C<128) tiles are lane-starved at the
+decoder's narrow channel counts. Kept behind use_pallas_aag=False as the
+Pallas reference implementation; revisit with channel-packed tiling if the
+gate ever dominates a profile.
 """
 from __future__ import annotations
 

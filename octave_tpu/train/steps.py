@@ -249,3 +249,28 @@ def make_eval_step(segmentor: ResnestUNet, num_classes: int = 2):
         return pred, metrics
 
     return eval_step
+
+
+def make_eval_accumulate_step(segmentor: ResnestUNet, num_classes: int = 2,
+                              threshold: float = 0.5):
+    """Streaming eval: returns per-batch confusion counts + ROC histograms so
+    the harness computes DATASET-level Dice/AUC (not a mean of per-batch
+    values, which is biased for unequal batch difficulty)."""
+    from octave_tpu.utils.metrics import AucAccumulator, ConfusionAccumulator
+
+    def eval_step(seg_params, batch_stats, batch):
+        _, pred = segmentor.apply(
+            {"params": seg_params, "batch_stats": batch_stats},
+            batch["image"],
+            "softmax",
+            False,
+            method=ResnestUNet.predict,
+        )
+        vessel_prob = pred[..., 1] if num_classes > 1 else pred[..., 0]
+        target = batch["mask_onehot"][..., 1] if num_classes > 1 else batch["mask_onehot"][..., 0]
+        hard = (vessel_prob >= threshold).astype(jnp.float32)
+        conf = ConfusionAccumulator.empty().update(hard, target)
+        auc = AucAccumulator.empty().update(vessel_prob, target)
+        return pred, conf, auc
+
+    return eval_step

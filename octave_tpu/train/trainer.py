@@ -158,8 +158,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _make_steps(self):
+        from octave_tpu.train.steps import make_eval_accumulate_step
+
         step = make_train_step(self.segmentor, self.discriminator, self.step_cfg)
         ev = make_eval_step(self.segmentor, self.cfg.model.num_classes)
+        self._acc_step = jax.jit(
+            make_eval_accumulate_step(self.segmentor, self.cfg.model.num_classes)
+        )
         if self.cfg.train.data_parallel:
             from octave_tpu.parallel.mesh import (
                 make_mesh,
@@ -278,15 +283,40 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def evaluate(self, state: TrainState) -> Dict[str, float]:
+        """Dataset-level metrics via streaming confusion/ROC accumulation
+        (no per-batch averaging bias; the tail batch is kept)."""
+        from octave_tpu.utils.metrics import AucAccumulator, ConfusionAccumulator
+
         cfg = self.cfg
         eval_ds = build_dataset(cfg, "test")
-        results = []
+        conf = ConfusionAccumulator.empty()
+        auc = AucAccumulator.empty()
+        n = 0
         for host_batch in ds.batch_iterator(
-            eval_ds, cfg.data.batch_size, shuffle=False, epochs=1, drop_last=True
+            eval_ds, cfg.data.batch_size, shuffle=False, epochs=1, drop_last=False
         ):
             batch = self._device_batch(host_batch)
-            _, metrics = self.eval_step(state.seg_params, state.batch_stats, batch)
-            results.append({k: float(v) for k, v in metrics.items()})
-        agg = {k: float(np.mean([r[k] for r in results])) for k in results[0]} if results else {}
+            if self.mesh is not None:
+                # mesh path needs equal shards: fall back to per-batch metric
+                # mean for the sharded evaluator
+                _, metrics = self.eval_step(state.seg_params, state.batch_stats, batch)
+                m = {k: float(v) for k, v in metrics.items()}
+                conf = conf  # unused on this path
+                n += 1
+                agg = m if n == 1 else {k: agg[k] + (m[k] - agg[k]) / n for k in m}
+                continue
+            _, c, a = self._acc_step(state.seg_params, state.batch_stats, batch)
+            conf = ConfusionAccumulator(*(x + y for x, y in zip(conf, c)))
+            auc = AucAccumulator(*(x + y for x, y in zip(auc, a)))
+            n += 1
+        if self.mesh is None:
+            agg = {
+                "dice": float(conf.dice()),
+                "iou": float(conf.iou()),
+                "accuracy": float(conf.accuracy()),
+                "sensitivity": float(conf.sensitivity()),
+                "specificity": float(conf.specificity()),
+                "auc": float(auc.auc()),
+            }
         log.info("eval  %s", "  ".join(f"{k}={v:.4f}" for k, v in agg.items()))
         return agg
