@@ -24,6 +24,58 @@ from flax import linen as nn
 from jax import lax
 
 
+class _FoldedInference:
+    """Trace-time switch: inside `folded_inference()`, every BatchNorm's eval
+    path reads pre-folded scale/bias directly (y = x*scale + bias) and skips
+    the mean/var/rsqrt math — the stats must have been folded into the params
+    with `fold_batch_stats` first. Eliminates ~100 tiny scalar-unit kernels
+    per ResnestUNet forward (each measured at multiple ms on the v5e relay
+    backend — see docs/architecture.md)."""
+
+    active = False
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def folded_inference():
+    prev = _FoldedInference.active
+    _FoldedInference.active = True
+    try:
+        yield
+    finally:
+        _FoldedInference.active = prev
+
+
+def fold_batch_stats(variables, epsilon: float = 1e-5):
+    """Fold running stats into BN scale/bias:
+        scale' = scale * rsqrt(var + eps);  bias' = bias - mean * scale'.
+    Returns new variables with identical eval-mode outputs when the modules
+    run under `folded_inference()` (mean/var are kept but unused)."""
+    import numpy as _np
+
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    params = dict(flatten_dict(variables["params"]))
+    stats = flatten_dict(variables.get("batch_stats", {}))
+    for path, mean in stats.items():
+        if path[-1] != "mean":
+            continue
+        base = path[:-1]
+        var = stats.get(base + ("var",))
+        sp = base + ("scale",)
+        bp = base + ("bias",)
+        if var is None or sp not in params or bp not in params:
+            continue
+        a = params[sp] * jax.lax.rsqrt(var + epsilon)
+        params[bp] = params[bp] - mean * a
+        params[sp] = a
+    out = dict(variables)
+    out["params"] = unflatten_dict(params)
+    return out
+
+
 class BatchNorm(nn.Module):
     """NHWC batch norm over axis (0, 1, 2) with torch update semantics."""
 
@@ -37,6 +89,13 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        if _FoldedInference.active and not train:
+            scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            # keep the stats variables so the param structure is unchanged
+            self.variable("batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32))
+            self.variable("batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32))
+            return x * scale.astype(x.dtype) + bias.astype(x.dtype)
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
         )

@@ -30,11 +30,17 @@ class Predictor:
         method: str = "softmax",
         dtype=jnp.bfloat16,
         use_pallas_aag: bool = False,
+        fold_bn: bool = True,
         mesh=None,
     ):
         self.model = ResnestUNet(num_classes=num_classes, use_pallas_aag=use_pallas_aag)
         self.method = method
         self.dtype = dtype
+        self._fold_bn = fold_bn
+        if fold_bn:
+            from octave_tpu.ops.norm import fold_batch_stats
+
+            variables = fold_batch_stats(variables)
         if dtype == jnp.bfloat16:
             variables = jax.tree.map(
                 lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
@@ -57,7 +63,19 @@ class Predictor:
             )
             return pred.astype(jnp.float32)
 
-        self._fn = jax.jit(fwd)
+        jitted = jax.jit(fwd)
+
+        if fold_bn:
+            from octave_tpu.ops.norm import folded_inference
+
+            def call(params, image):
+                # the context only affects tracing; cached executions are free
+                with folded_inference():
+                    return jitted(params, image)
+
+            self._fn = call
+        else:
+            self._fn = jitted
 
     @classmethod
     def initialize(cls, image_hw: Tuple[int, int] = (304, 304), seed: int = 0, **kw):

@@ -99,3 +99,27 @@ def test_batchnorm_train_running_stats(rng):
     np.testing.assert_allclose(
         tbn.running_var.numpy(), np.asarray(mutated["batch_stats"]["var"]), rtol=1e-5
     )
+
+
+def test_bn_folding_exact(rng):
+    """fold_batch_stats + folded_inference == standard eval, exactly."""
+    from octave_tpu.ops.norm import BatchNorm, fold_batch_stats, folded_inference
+
+    bn = BatchNorm(6)
+    x = jnp.asarray(rng.standard_normal((2, 5, 5, 6)), jnp.float32)
+    v = bn.init(jax.random.PRNGKey(0), x, False)
+    # non-trivial stats/params
+    v = {
+        "params": {"scale": jnp.asarray(rng.uniform(0.5, 2, 6), jnp.float32),
+                   "bias": jnp.asarray(rng.uniform(-1, 1, 6), jnp.float32)},
+        "batch_stats": {"mean": jnp.asarray(rng.uniform(-1, 1, 6), jnp.float32),
+                        "var": jnp.asarray(rng.uniform(0.5, 2, 6), jnp.float32)},
+    }
+    ref = bn.apply(v, x, False)
+    vf = fold_batch_stats(v)
+    with folded_inference():
+        out = bn.apply(vf, x, False)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-6)
+    # context off → folded variables give WRONG results (guard against misuse)
+    out2 = bn.apply(vf, x, False)
+    assert float(jnp.abs(ref - out2).max()) > 1e-3
