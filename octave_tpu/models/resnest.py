@@ -56,6 +56,31 @@ def global_avg_pool_2d(x: jax.Array) -> jax.Array:
     return jnp.mean(x, axis=(1, 2))
 
 
+import contextlib
+
+
+class _GroupsAsDense:
+    """Trace-time switch: lower grouped convs as dense convs with
+    block-diagonal kernels. XLA's grouped-conv lowering for small per-group
+    channel counts produces dilated 3D-conv tricks that run far below MXU
+    efficiency; the dense form does groups× the FLOPs at dense efficiency and
+    reads the same activations (these ops are bandwidth-dominated). Exact
+    math: parameters stay in grouped shape, the block-diagonal expansion's
+    scatter transpose drops off-block gradients."""
+
+    active = False
+
+
+@contextlib.contextmanager
+def groups_as_dense():
+    prev = _GroupsAsDense.active
+    _GroupsAsDense.active = True
+    try:
+        yield
+    finally:
+        _GroupsAsDense.active = prev
+
+
 class Conv(nn.Module):
     """2D conv over NHWC with torch-default init and explicit padding."""
 
@@ -77,6 +102,31 @@ class Conv(nn.Module):
         kinit = self.kernel_init or kaiming_uniform_torch()
         binit = self.bias_init or torch_conv_bias_init(fan_in)
         ph, pw = _pair(self.padding)
+
+        if self.groups > 1 and _GroupsAsDense.active:
+            g = self.groups
+            ci = in_ch // g
+            co = self.features // g
+            # same param path as nn.Conv: conv/{kernel,bias}
+            leaf = _ConvParams(
+                (kh, kw, ci, self.features), kinit,
+                (self.features,) if self.use_bias else None, binit, name="conv",
+            )
+            kernel, bias = leaf()
+            dense = jnp.zeros((kh, kw, in_ch, self.features), kernel.dtype)
+            for gi in range(g):
+                dense = dense.at[
+                    :, :, gi * ci : (gi + 1) * ci, gi * co : (gi + 1) * co
+                ].set(kernel[:, :, :, gi * co : (gi + 1) * co])
+            y = jax.lax.conv_general_dilated(
+                x, dense, _pair(self.strides), [(ph, ph), (pw, pw)],
+                rhs_dilation=_pair(self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if bias is not None:
+                y = y + bias
+            return y
+
         return nn.Conv(
             features=self.features,
             kernel_size=(kh, kw),
@@ -89,6 +139,21 @@ class Conv(nn.Module):
             bias_init=binit,
             name="conv",
         )(x)
+
+
+class _ConvParams(nn.Module):
+    """{kernel, bias} leaf with nn.Conv's naming (for the dense-grouped path)."""
+
+    kshape: Tuple[int, ...]
+    kinit: Callable
+    bshape: Optional[Tuple[int, ...]]
+    binit: Callable
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kinit, self.kshape)
+        b = self.param("bias", self.binit, self.bshape) if self.bshape else None
+        return k, b
 
 
 class SplAtConv2d(nn.Module):
