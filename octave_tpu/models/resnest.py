@@ -199,9 +199,15 @@ class SplAtConv2d(nn.Module):
 
         b, h, w, _ = x.shape
         if radix > 1:
-            # torch.split(dim=1) chunks contiguous channels; NHWC equivalent:
-            splits = x.reshape(b, h, w, radix, channels)
-            gap = jnp.sum(splits, axis=3)
+            # torch.split(dim=1) chunks contiguous channels. Static channel
+            # slices + elementwise adds (NOT a 5-D reshape/einsum): slicing
+            # keeps the NHWC minor-dim layout so XLA fuses these into the
+            # surrounding convs — the einsum form forced NCHW relayouts and
+            # materialized copies (~3 ms/block at 304², batch 128).
+            splits = [x[..., r * channels : (r + 1) * channels] for r in range(radix)]
+            gap = splits[0]
+            for s in splits[1:]:
+                gap = gap + s
         else:
             gap = x
         gap = jnp.mean(gap, axis=(1, 2), keepdims=True)  # (b,1,1,channels)
@@ -210,13 +216,15 @@ class SplAtConv2d(nn.Module):
             gap = BatchNorm(inter_channels, axis_name=self.bn_axis_name, name="bn1")(gap, train)
         gap = nn.relu(gap)
         atten = Conv(features=channels * radix, kernel_size=1, groups=self.groups, name="fc2")(gap)
-        atten = atten.reshape(b, radix, channels)
         if radix > 1:
-            atten = jax.nn.softmax(atten, axis=1)
-            # out[..., c] = sum_r atten[b, r, c] * splits[..., r, c]
-            out = jnp.einsum("brc,bhwrc->bhwc", atten, splits)
+            # softmax over radix for each channel c: entries c, c+channels, …
+            logits = atten.reshape(b, radix, channels)
+            attn = jax.nn.softmax(logits, axis=1)  # (b, radix, channels) — tiny
+            out = attn[:, 0, :][:, None, None, :] * splits[0]
+            for r in range(1, radix):
+                out = out + attn[:, r, :][:, None, None, :] * splits[r]
         else:
-            out = jax.nn.sigmoid(atten).reshape(b, 1, 1, channels) * x
+            out = jax.nn.sigmoid(atten.reshape(b, 1, 1, channels)) * x
         return out
 
 
