@@ -196,3 +196,33 @@ class TestDiscriminatorParity:
             tu = t_sd[f"spectral_dict.spectral_{i}.0.weight_u"]
             ju = np.asarray(mutated["spectral"][f"spectral_{i}"]["u"])
             assert _max_err(tu, ju) < 1e-5, f"u mismatch at depth {i}"
+
+
+@pytest.mark.slow
+class TestParallelHeadGateParity:
+    def test_forward_parity(self, torch_reference, rng):
+        torch = torch_reference
+        from architectures.segmentor.compose import (
+            ResnestUnetParallelHeadAttentionGate as TorchPHG,
+        )
+
+        from octave_tpu.models.segmentor import ResnestUnetParallelHeadAttentionGate
+
+        tm = TorchPHG(num_classes=2, pretrain=False, gating_leveL=3)
+        tm.eval()
+        x = rng.standard_normal((1, 3, 64, 64), dtype=np.float32)
+        with torch.no_grad():
+            (t_atts, t_atts_c), t_agg = tm(torch.from_numpy(x))
+
+        variables = convert_resnest_unet(_sd_numpy(tm), parallel_gates=True)
+        jm = ResnestUnetParallelHeadAttentionGate(num_classes=2, gating_level=3)
+        xj = jnp.asarray(x).transpose(0, 2, 3, 1)
+        variables = merge_variables(jm.init(jax.random.PRNGKey(0), xj, False), variables)
+        (j_atts, j_atts_c), j_agg = jm.apply(variables, xj, False)
+
+        assert len(t_atts) == len(j_atts)
+        assert len(t_atts_c) == len(j_atts_c)
+        for ta, ja in zip(list(t_atts) + list(t_atts_c), list(j_atts) + list(j_atts_c)):
+            assert _max_err(ta.numpy(), _nchw(ja)) < 5e-4
+        j_agg_nchw = np.asarray(j_agg).transpose(0, 1, 4, 2, 3)
+        assert _max_err(t_agg.numpy(), j_agg_nchw) < 5e-4

@@ -17,3 +17,18 @@ def test_predictor_sync_and_stream(rng):
         np.testing.assert_allclose(s, t, atol=1e-6)
     assert sync[0].shape == (2, 32, 32, 2)
     np.testing.assert_allclose(sync[0].sum(-1), 1.0, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_predictor_mesh(rng):
+    """Mesh-sharded Predictor: batch fans out over the 8-device CPU mesh."""
+    from octave_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    pred = Predictor.initialize(image_hw=(32, 32), dtype=jnp.float32, mesh=mesh)
+    x = rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    out = pred(x)
+    assert out.shape == (8, 32, 32, 2)
+    # same weights, no mesh → identical results
+    single = Predictor.initialize(image_hw=(32, 32), dtype=jnp.float32)
+    np.testing.assert_allclose(out, single(x), atol=1e-5)
