@@ -89,6 +89,7 @@ def cmd_predict(args) -> int:
     from octave_tpu.data.datasets import _list_images
     from octave_tpu.serve import Predictor
     from octave_tpu.utils.checkpoint import CheckpointManager
+    from octave_tpu.utils.imageio import write_png_gray
 
     cfg = _load_cfg(args)
     size = tuple(cfg.data.image_size)
@@ -131,8 +132,6 @@ def cmd_predict(args) -> int:
             name = os.path.splitext(os.path.basename(paths[i]))[0]
             vessel = out[b, ..., 1] if out.shape[-1] > 1 else out[b, ..., 0]
             np.save(os.path.join(args.out, name + "_prob.npy"), vessel)
-            from octave_tpu.utils.imageio import write_png_gray
-
             write_png_gray(os.path.join(args.out, name + "_mask.png"),
                            (vessel >= 0.5).astype(np.uint8) * 255)
             i += 1

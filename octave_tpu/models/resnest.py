@@ -156,6 +156,19 @@ class _ConvParams(nn.Module):
         return k, b
 
 
+class _NamedConvParams(nn.Module):
+    """Adds the Conv wrapper's extra 'conv' path level around _ConvParams."""
+
+    kshape: Tuple[int, ...]
+    kinit: Callable
+    bshape: Optional[Tuple[int, ...]]
+    binit: Callable
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.kshape, self.kinit, self.bshape, self.binit, name="conv")()
+
+
 class SplAtConv2d(nn.Module):
     """Split-attention conv (radix-softmax channel attention).
 
@@ -504,6 +517,12 @@ class ResNestDecoder(nn.Module):
 
     [3x3 conv → BN → ReLU → SplAtConv2d(groups=2, radix=2) → ReLU] plus a
     1x1-conv+BN shortcut, joined by ReLU(residual + out).
+
+    Accepts either the concatenated skip+up tensor, or the (skip, up) pair:
+    convolution is linear in input channels, so conv(cat(a,b), W) =
+    conv(a, W[:, :, :Ca]) + conv(b, W[:, :, Ca:]) — the pair form never
+    materializes the concat (a full read+write of the widest tensor in every
+    decoder stage). Parameters are identical either way.
     """
 
     in_channels: int
@@ -511,8 +530,33 @@ class ResNestDecoder(nn.Module):
     bn_axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        out = Conv(self.out_channels, 3, 1, 1, use_bias=False, name="conv1")(x)
+    def __call__(self, x, train: bool = False) -> jax.Array:
+        if isinstance(x, tuple):
+            a, b = x
+            ca = a.shape[-1]
+
+            def split_conv(features, k, pad, name):
+                # param path <name>/conv/kernel, identical to the Conv wrapper
+                leaf = _NamedConvParams(
+                    (k, k, self.in_channels, features), kaiming_uniform_torch(),
+                    None, torch_conv_bias_init(self.in_channels * k * k), name=name,
+                )
+                kernel, _ = leaf()
+                args = dict(
+                    window_strides=(1, 1), padding=[(pad, pad), (pad, pad)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                return (
+                    jax.lax.conv_general_dilated(a, kernel[:, :, :ca, :], **args)
+                    + jax.lax.conv_general_dilated(b, kernel[:, :, ca:, :], **args)
+                )
+
+            out = split_conv(self.out_channels, 3, 1, "conv1")
+            residual = split_conv(self.out_channels, 1, 0, "downsample_conv")
+        else:
+            out = Conv(self.out_channels, 3, 1, 1, use_bias=False, name="conv1")(x)
+            residual = Conv(self.out_channels, 1, 1, 0, use_bias=False, name="downsample_conv")(x)
+
         out = BatchNorm(self.out_channels, axis_name=self.bn_axis_name, name="bn1")(out, train)
         out = nn.relu(out)
         out = SplAtConv2d(
@@ -522,7 +566,6 @@ class ResNestDecoder(nn.Module):
         )(out, train)
         out = nn.relu(out)
 
-        residual = Conv(self.out_channels, 1, 1, 0, use_bias=False, name="downsample_conv")(x)
         residual = BatchNorm(self.out_channels, axis_name=self.bn_axis_name, name="downsample_bn")(residual, train)
         return nn.relu(residual + out)
 

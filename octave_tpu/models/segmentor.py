@@ -221,31 +221,31 @@ class ResnestUNet(nn.Module):
 
         attentions = []
 
+        # skip-concats are passed as (skip, up) PAIRS: the decoder's first
+        # convs split their kernels along input channels instead of reading a
+        # materialized concat (exact math — conv is linear in channels)
         d_4 = self.upsampling_4(x_4)
-        d_4 = jnp.concatenate((x_3, d_4), axis=-1)
-        d_4 = _crop_pad(d_4, down_padding, right_padding)
+        d_4 = (_crop_pad(x_3, down_padding, right_padding),
+               _crop_pad(d_4, down_padding, right_padding))
         d_4 = self.decoder_4(d_4, train)
         if self.gating_level >= 4:
             d_4, y_4 = self.aag_4(d_4)
             attentions.append(y_4)
 
         d_3 = self.upsampling_3(d_4)
-        d_3 = jnp.concatenate((x_2, d_3), axis=-1)
-        d_3 = self.decoder_3(d_3, train)
+        d_3 = self.decoder_3((x_2, d_3), train)
         if self.gating_level >= 3:
             d_3, y_3 = self.aag_3(d_3)
             attentions.append(y_3)
 
         d_2 = self.upsampling_2(d_3)
-        d_2 = jnp.concatenate((x_1, d_2), axis=-1)
-        d_2 = self.decoder_2(d_2, train)
+        d_2 = self.decoder_2((x_1, d_2), train)
         if self.gating_level >= 2:
             d_2, y_2 = self.aag_2(d_2)
             attentions.append(y_2)
 
         d_1 = self.upsampling_1(d_2)
-        d_1 = jnp.concatenate((x_0_0, d_1), axis=-1)
-        d_1 = self.decoder_1(d_1, train)
+        d_1 = self.decoder_1((x_0_0, d_1), train)
         if self.gating_level >= 1:
             d_1, y_1 = self.aag_1(d_1)
             attentions.append(y_1)
