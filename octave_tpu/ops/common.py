@@ -268,6 +268,17 @@ def nearest_resize(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
 # ConvTranspose2d(kernel_size=2, stride=2) as a pure matmul (MXU-friendly)
 # ---------------------------------------------------------------------------
 
+_CONV_TRANSPOSE_IMPL = "einsum"  # 'einsum' | 'native'
+
+
+def set_conv_transpose_impl(impl: str) -> None:
+    """Select the ConvTranspose2d lowering ('einsum' MXU matmul vs XLA's
+    'native' conv_transpose). Both are torch-exact; relative speed is
+    backend-dependent — see docs/architecture.md."""
+    global _CONV_TRANSPOSE_IMPL
+    assert impl in ("einsum", "native"), impl
+    _CONV_TRANSPOSE_IMPL = impl
+
 def conv_transpose_2x2(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None) -> jax.Array:
     """Non-overlapping 2x stride-2 transposed conv as a single einsum.
 
@@ -278,11 +289,19 @@ def conv_transpose_2x2(x: jax.Array, kernel: jax.Array, bias: jax.Array | None =
     """
     b, h, w, cin = x.shape
     cout = kernel.shape[1]
-    # emit the block-interleaved order straight from the einsum so the final
-    # reshape is a free view (no transpose copy — measured ~4.5 ms at the
-    # 304² decoder head, batch 128 bf16)
-    y = jnp.einsum("bhwc,coij->bhiwjo", x, kernel, preferred_element_type=x.dtype)
-    y = y.reshape(b, 2 * h, 2 * w, cout)
+    if _CONV_TRANSPOSE_IMPL == "native":
+        # XLA's conv_transpose lowering writes the strided output directly
+        # (no interleave transpose). torch parity: spatially flipped HWIO.
+        wk = jnp.transpose(kernel[:, :, ::-1, ::-1], (2, 3, 0, 1))
+        y = lax.conv_transpose(
+            x, wk.astype(x.dtype), (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    else:
+        # one MXU matmul; emit the block-interleaved order straight from the
+        # einsum so the final reshape is a free view
+        y = jnp.einsum("bhwc,coij->bhiwjo", x, kernel, preferred_element_type=x.dtype)
+        y = y.reshape(b, 2 * h, 2 * w, cout)
     if bias is not None:
         y = y + bias
     return y

@@ -69,13 +69,20 @@ def test_nearest_resize_torch_convention(rng, src, dst):
     np.testing.assert_allclose(t, j, rtol=0, atol=0)
 
 
-def test_conv_transpose_2x2(rng):
+@pytest.mark.parametrize("impl", ["einsum", "native"])
+def test_conv_transpose_2x2(rng, impl):
+    from octave_tpu.ops.common import set_conv_transpose_impl
+
     x = rng.standard_normal((2, 6, 9, 11), dtype=np.float32)
     w = rng.standard_normal((6, 4, 2, 2), dtype=np.float32)
     b = rng.standard_normal((4,), dtype=np.float32)
     t = F.conv_transpose2d(torch.from_numpy(x), torch.from_numpy(w),
                            torch.from_numpy(b), stride=2).numpy()
-    j = _to_nchw(conv_transpose_2x2(_to_nhwc(x), jnp.asarray(w), jnp.asarray(b)))
+    set_conv_transpose_impl(impl)
+    try:
+        j = _to_nchw(conv_transpose_2x2(_to_nhwc(x), jnp.asarray(w), jnp.asarray(b)))
+    finally:
+        set_conv_transpose_impl("einsum")
     np.testing.assert_allclose(t, j, rtol=1e-5, atol=1e-5)
 
 
