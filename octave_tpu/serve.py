@@ -31,6 +31,7 @@ class Predictor:
         dtype=jnp.bfloat16,
         use_pallas_aag: bool = False,
         fold_bn: bool = True,
+        output_format: str = "prob_f32",  # 'prob_f32' | 'prob_f16' | 'mask_u8'
         mesh=None,
     ):
         self.model = ResnestUNet(num_classes=num_classes, use_pallas_aag=use_pallas_aag)
@@ -57,10 +58,20 @@ class Predictor:
             )
 
         def fwd(params, image):
+            if jnp.issubdtype(image.dtype, jnp.integer):
+                # uint8 wire format: 4x smaller host->device uploads; the
+                # [0,1] normalization happens on device
+                image = image.astype(dtype) / jnp.asarray(255.0, dtype)
             _, pred = self.model.apply(
                 params, image.astype(dtype), method, False,
                 method=ResnestUNet.predict,
             )
+            # compact device->host wire formats (the relay downlink is slow)
+            if output_format == "mask_u8":
+                vessel = pred[..., 1] if pred.shape[-1] > 1 else pred[..., 0]
+                return (vessel >= 0.5).astype(jnp.uint8) * jnp.uint8(255)
+            if output_format == "prob_f16":
+                return pred.astype(jnp.float16)
             return pred.astype(jnp.float32)
 
         jitted = jax.jit(fwd)
@@ -89,7 +100,9 @@ class Predictor:
         return cls(variables, **kw)
 
     def _put(self, batch: np.ndarray) -> jax.Array:
-        x = jnp.asarray(batch, self.dtype)
+        # keep uint8 on the wire (normalize on device); floats cast to the
+        # compute dtype before upload (half the bytes of float32)
+        x = jnp.asarray(batch) if batch.dtype == np.uint8 else jnp.asarray(batch, self.dtype)
         if self.mesh is not None:
             x = jax.device_put(x, self._batch_sharding)
         return x

@@ -32,3 +32,25 @@ def test_predictor_mesh(rng):
     # same weights, no mesh → identical results
     single = Predictor.initialize(image_hw=(32, 32), dtype=jnp.float32)
     np.testing.assert_allclose(out, single(x), atol=1e-5)
+
+
+def test_predictor_uint8_wire(rng):
+    """uint8 input == float input/255 (device-side normalization)."""
+    pred = Predictor.initialize(image_hw=(32, 32), dtype=jnp.float32)
+    img8 = rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8)
+    a = pred(img8)
+    b = pred(img8.astype(np.float32) / 255.0)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_predictor_output_formats(rng):
+    img8 = rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8)
+    ref = Predictor.initialize(image_hw=(32, 32), dtype=jnp.float32)(img8)
+    m = Predictor.initialize(image_hw=(32, 32), dtype=jnp.float32,
+                             output_format="mask_u8")(img8)
+    assert m.shape == (1, 32, 32) and m.dtype == np.uint8
+    np.testing.assert_array_equal(m > 0, ref[..., 1] >= 0.5)
+    h = Predictor.initialize(image_hw=(32, 32), dtype=jnp.float32,
+                             output_format="prob_f16")(img8)
+    assert h.dtype == np.float16
+    np.testing.assert_allclose(h, ref, atol=1e-3)
