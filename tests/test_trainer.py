@@ -71,3 +71,33 @@ class TestTrainer:
         for a, b in zip(jax.tree.leaves(state.seg_params), jax.tree.leaves(restored.seg_params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         mgr.close()
+
+
+@pytest.mark.slow
+def test_pretrained_backbone_load(tmp_path, torch_reference):
+    """The reference's pretrian=True flow end-to-end: a real .pth state_dict
+    (generated from the torch reference model) loads into the segmentor
+    backbone and changes its outputs (reference extra/resnest.py:456-458)."""
+    import torch
+
+    from architectures.extra.resnest import resnest50 as torch_resnest50
+
+    tm = torch_resnest50(pretrained=False)
+    pth = tmp_path / "resnest50-test.pth"
+    torch.save(tm.state_dict(), str(pth))
+
+    from octave_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg()
+    cfg.model.pretrain = True
+    cfg.model.weight_path = str(pth)
+    cfg.model.discriminator_depth = 0
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+
+    # the backbone stem kernel now equals the torch weights
+    import jax
+
+    tk = tm.state_dict()["conv1.0.weight"].numpy().transpose(2, 3, 1, 0)
+    jk = np.asarray(state.seg_params["backbone"]["stem_conv1"]["conv"]["kernel"])
+    np.testing.assert_allclose(tk, jk, atol=0)
