@@ -160,15 +160,25 @@ class SyntheticOcta:
     speckle background — shape/statistics proxy for en-face angiograms so the
     whole pipeline (incl. Dice/AUC eval) runs without the gated datasets."""
 
-    def __init__(self, size: Tuple[int, int] = (304, 304), n: int = 64, seed: int = 0):
+    def __init__(self, size: Tuple[int, int] = (304, 304), n: int = 64, seed: int = 0,
+                 cache: bool = True):
         self.size = size
         self.n = n
         self.seed = seed
+        self._cache: Optional[dict] = {} if cache else None
 
     def __len__(self) -> int:
         return self.n
 
     def __getitem__(self, i: int) -> Sample:
+        if self._cache is not None and i in self._cache:
+            return self._cache[i]
+        s = self._generate(i)
+        if self._cache is not None:
+            self._cache[i] = s
+        return s
+
+    def _generate(self, i: int) -> Sample:
         h, w = self.size
         rng = np.random.default_rng(self.seed * 100003 + i)
         mask = np.zeros((h, w), np.uint8)
