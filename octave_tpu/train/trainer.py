@@ -292,6 +292,7 @@ class Trainer:
         conf = ConfusionAccumulator.empty()
         auc = AucAccumulator.empty()
         n = 0
+        agg: Dict[str, float] = {}
         for host_batch in ds.batch_iterator(
             eval_ds, cfg.data.batch_size, shuffle=False, epochs=1, drop_last=False
         ):
