@@ -101,3 +101,24 @@ def test_pretrained_backbone_load(tmp_path, torch_reference):
     tk = tm.state_dict()["conv1.0.weight"].numpy().transpose(2, 3, 1, 0)
     jk = np.asarray(state.seg_params["backbone"]["stem_conv1"]["conv"]["kernel"])
     np.testing.assert_allclose(tk, jk, atol=0)
+
+
+@pytest.mark.slow
+def test_cli_convert_roundtrip(tmp_path, torch_reference):
+    """cli convert: .pth → orbax pytree, exact round trip."""
+    import torch
+
+    from architectures.extra.resnest import resnest50 as torch_resnest50
+
+    from octave_tpu.cli import main
+    from octave_tpu.utils.checkpoint import load_pytree
+
+    tm = torch_resnest50(pretrained=False)
+    pth = tmp_path / "rn50.pth"
+    torch.save(tm.state_dict(), str(pth))
+    rc = main(["convert", "--pth", str(pth), "--out", str(tmp_path / "weights")])
+    assert rc == 0
+    tree = load_pytree(str(tmp_path / "weights"))
+    k = np.asarray(tree["params"]["stem_conv1"]["conv"]["kernel"])
+    tk = tm.state_dict()["conv1.0.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(k, tk)
