@@ -69,3 +69,32 @@ def test_unet_with_pallas_aag_matches(rng):
     np.testing.assert_allclose(np.asarray(agg0), np.asarray(agg1), atol=1e-5)
     for a0, a1 in zip(atts0, atts1):
         np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), atol=1e-5)
+
+
+class TestFusedDecoderEpilogue:
+    def _reference(self, z, attn_logits, res, rs, rb, w, b):
+        c = z.shape[-1] // 2
+        a = jax.nn.softmax(attn_logits.reshape(z.shape[0], 2, c), axis=1)
+        s = z[..., :c] * a[:, 0][:, None, None, :] + z[..., c:] * a[:, 1][:, None, None, :]
+        y = jax.nn.relu(s + res * rs + rb)
+        logits = jnp.einsum("bhwc,ck->bhwk", y, w) + b
+        yh = jax.nn.softmax(logits, axis=-1)
+        mask = jnp.sum(yh[..., 1:], axis=-1, keepdims=True)
+        return y * mask, yh
+
+    @pytest.mark.parametrize("shape,k", [((2, 8, 10, 16), 2), ((1, 6, 6, 32), 3)])
+    def test_matches_reference(self, rng, shape, k):
+        from octave_tpu.ops.pallas.decoder_epilogue import fused_decoder_epilogue
+
+        b_, h, w_, c = shape
+        z = jnp.asarray(rng.standard_normal((b_, h, w_, 2 * c)), jnp.float32)
+        attn = jnp.asarray(rng.standard_normal((b_, 2 * c)), jnp.float32)
+        res = jnp.asarray(rng.standard_normal((b_, h, w_, c)), jnp.float32)
+        rs = jnp.asarray(rng.uniform(0.5, 2, (c,)), jnp.float32)
+        rb = jnp.asarray(rng.uniform(-1, 1, (c,)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((c, k)) * 0.1, jnp.float32)
+        bb = jnp.asarray(rng.standard_normal((k,)) * 0.1, jnp.float32)
+        out, yh = fused_decoder_epilogue(z, attn, res, rs, rb, w, bb)
+        ref_out, ref_yh = self._reference(z, attn, res, rs, rb, w, bb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(yh), np.asarray(ref_yh), atol=1e-5)
