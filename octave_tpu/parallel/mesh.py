@@ -40,6 +40,15 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     """1-D data mesh over the first n (default: all) local devices."""
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"make_mesh: requested {n_devices} devices but only "
+                f"{len(devs)} available on platform "
+                f"{devs[0].platform!r}; for a virtual CPU mesh set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=<n> and "
+                "jax.config.update('jax_platforms', 'cpu') before any jax "
+                "device access (see tests/conftest.py)"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
@@ -67,14 +76,12 @@ def make_parallel_train_step(train_step, mesh: Mesh, axis: str = DATA_AXIS):
     modules constructed with bn_axis_name=axis, so grads/losses pmean and BN
     stats sync inside. State is replicated, batch sharded on dim 0.
     """
-    from jax.experimental.shard_map import shard_map
-
-    mapped = shard_map(
+    mapped = jax.shard_map(
         train_step,
         mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))
 
@@ -83,18 +90,16 @@ def make_parallel_eval_step(eval_step, mesh: Mesh, axis: str = DATA_AXIS):
     """shard_map an eval step: params replicated, batch sharded; the metric
     accumulators come back per-shard sums (psum'd inside via axis when
     needed) — predictions stay sharded on batch."""
-    from jax.experimental.shard_map import shard_map
-
     def step(params, stats, batch):
         pred, metrics = eval_step(params, stats, batch)
         metrics = jax.tree.map(lambda m: jax.lax.pmean(m, axis), metrics)
         return pred, metrics
 
-    mapped = shard_map(
+    mapped = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(P(), P(), P(axis)),
         out_specs=(P(axis), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)

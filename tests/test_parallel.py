@@ -46,7 +46,7 @@ def test_syncbn_grad_exact_fp64():
     proves the sync-BN (pmean statistics) + grad-pmean semantics are exact,
     not just approximately DDP-like."""
     import flax.linen as nn
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     from octave_tpu.models.resnest import Conv
@@ -100,7 +100,7 @@ def test_syncbn_grad_exact_fp64():
 
         g8 = jax.jit(
             shard_map(shard_loss, mesh=mesh, in_specs=(P(), P("data"), P("data")),
-                      out_specs=P(), check_rep=False)
+                      out_specs=P(), check_vma=False)
         )(v["params"], xb, tgt)
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
             assert float(jnp.abs(a - b).max()) < 1e-12
