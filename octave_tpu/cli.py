@@ -85,7 +85,7 @@ def cmd_predict(args) -> int:
 
     import numpy as np
 
-    from octave_tpu.data import native
+    from octave_tpu.data.datasets import load_image_batch
     from octave_tpu.data.datasets import _list_images
     from octave_tpu.serve import Predictor
     from octave_tpu.utils.checkpoint import CheckpointManager
@@ -118,9 +118,7 @@ def cmd_predict(args) -> int:
     def batches():
         for i in range(0, len(paths), bs):
             chunk = paths[i : i + bs]
-            imgs = native.load_batch(chunk, size) if native.available() else np.stack(
-                [np.zeros(size, np.uint8) for _ in chunk]
-            )
+            imgs = load_image_batch(chunk, size)
             x = np.repeat((imgs.astype(np.float32) / 255.0)[..., None], 3, axis=-1)
             yield x
 

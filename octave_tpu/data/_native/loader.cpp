@@ -12,6 +12,7 @@
 
 #include <atomic>
 #include <cstdint>
+#include <exception>
 #include <cstdio>
 #include <cstring>
 #include <string>
@@ -26,6 +27,16 @@ struct Image {
   bool ok = false;
   std::string err;
 };
+
+// File headers are untrusted: cap dimensions before any allocation so a
+// corrupt header can't trigger a multi-GB resize (bad_alloc) or overflow
+// the w*h index arithmetic.
+constexpr int64_t kMaxDim = 1 << 16;           // 65536 px per side
+constexpr int64_t kMaxPixels = int64_t(1) << 28;  // 256 MPix (~256 MB gray)
+
+bool sane_dims(int64_t w, int64_t h) {
+  return w > 0 && h > 0 && w <= kMaxDim && h <= kMaxDim && w * h <= kMaxPixels;
+}
 
 // ---------------------------------------------------------------- PNG ----
 Image decode_png(const char* path) {
@@ -62,6 +73,13 @@ Image decode_png(const char* path) {
 
   out.w = static_cast<int>(png_get_image_width(png, info));
   out.h = static_cast<int>(png_get_image_height(png, info));
+  if (!sane_dims(out.w, out.h)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    out.err = "png dimensions out of range";
+    out.ok = false;
+    return out;
+  }
   const png_byte color = png_get_color_type(png, info);
   const png_byte depth = png_get_bit_depth(png, info);
 
@@ -130,21 +148,35 @@ Image decode_bmp(const char* path) {
   const uint32_t comp = rd_u32(&buf[30]);
   const bool topdown = h < 0;
   if (topdown) h = -h;
-  if (comp != 0 || (bpp != 8 && bpp != 24 && bpp != 32) || w <= 0 || h <= 0 ||
-      hdr_size < 40) {
+  if (comp != 0 || (bpp != 8 && bpp != 24 && bpp != 32) || hdr_size < 40) {
     out.err = "unsupported bmp variant";
+    return out;
+  }
+  if (!sane_dims(w, h)) {
+    out.err = "bmp dimensions out of range";
+    return out;
+  }
+  // All header-derived offsets are untrusted (ADVICE r1): validate every
+  // region against the file size in 64-bit math BEFORE any allocation or
+  // pixel loop.
+  const uint64_t fsize = static_cast<uint64_t>(size);
+  const uint64_t row_stride = ((static_cast<uint64_t>(w) * bpp + 31) / 32) * 4;
+  if (static_cast<uint64_t>(data_off) > fsize ||
+      static_cast<uint64_t>(data_off) + row_stride * h > fsize) {
+    out.err = "bmp truncated";
+    return out;
+  }
+  // 8bpp palette: map index through the (grayscale) palette's blue channel.
+  // row[x] can be any of 256 indices, so the full 256*4 palette must fit.
+  if (bpp == 8 &&
+      14ull + hdr_size + 256ull * 4 > fsize) {
+    out.err = "bmp palette truncated";
     return out;
   }
   out.w = w;
   out.h = h;
   out.gray.resize(static_cast<size_t>(w) * h);
-  const size_t row_stride = ((static_cast<size_t>(w) * bpp + 31) / 32) * 4;
-  if (data_off + row_stride * h > static_cast<size_t>(size)) {
-    out.err = "bmp truncated";
-    return out;
-  }
-  // 8bpp palette: map index through the (grayscale) palette's blue channel
-  const uint8_t* palette = &buf[14 + hdr_size];
+  const uint8_t* palette = (bpp == 8) ? &buf[14 + hdr_size] : nullptr;
   for (int32_t y = 0; y < h; ++y) {
     const int32_t src_y = topdown ? y : (h - 1 - y);
     const uint8_t* row = &buf[data_off + row_stride * src_y];
@@ -172,7 +204,8 @@ Image decode_pgm(const char* path) {
     return out;
   }
   int w = 0, h = 0, maxv = 0;
-  if (std::fscanf(fp, "P5 %d %d %d", &w, &h, &maxv) != 3 || maxv > 255) {
+  if (std::fscanf(fp, "P5 %d %d %d", &w, &h, &maxv) != 3 || maxv > 255 ||
+      !sane_dims(w, h)) {
     std::fclose(fp);
     out.err = "unsupported pgm";
     return out;
@@ -188,7 +221,7 @@ Image decode_pgm(const char* path) {
   return out;
 }
 
-Image decode_any(const char* path) {
+Image decode_any_impl(const char* path) {
   const std::string p(path);
   auto ends = [&](const char* s) {
     const size_t n = std::strlen(s);
@@ -214,6 +247,23 @@ Image decode_any(const char* path) {
   Image out;
   out.err = "unknown image format";
   return out;
+}
+
+// A malformed file must count as a decode failure, never an uncaught
+// exception: exceptions would cross the extern "C" / ctypes boundary (UB)
+// or escape a pool thread (std::terminate). (ADVICE r1)
+Image decode_any(const char* path) {
+  try {
+    return decode_any_impl(path);
+  } catch (const std::exception& e) {
+    Image out;
+    out.err = std::string("decode exception: ") + e.what();
+    return out;
+  } catch (...) {
+    Image out;
+    out.err = "decode exception";
+    return out;
+  }
 }
 
 }  // namespace

@@ -60,6 +60,35 @@ def _load_image(path: str) -> np.ndarray:
     )
 
 
+def load_image_batch(paths, size) -> np.ndarray:
+    """Decode a batch of files to (n, h, w) uint8 grayscale at `size`.
+
+    Uses the threaded native loader when built; otherwise falls back to the
+    per-file python decoders (`_load_image`) with the same grayscale
+    (ITU-R 601 luma) and nearest-resize (src = floor(dst*in/out)) semantics
+    as loader.cpp, so callers get identical pixels either way — never
+    silent zeros (ADVICE r1, cli predict)."""
+    from octave_tpu.data import native
+
+    paths = list(paths)
+    h, w = size
+    if native.available():
+        return native.load_batch(paths, size)
+    out = np.empty((len(paths), h, w), np.uint8)
+    for i, p in enumerate(paths):
+        img = _load_image(p)
+        if img.ndim == 3:
+            rgb = img[..., :3].astype(np.uint32)
+            img = ((299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2])
+                   // 1000).astype(np.uint8)
+        if img.shape != (h, w):
+            sy = (np.arange(h, dtype=np.int64) * img.shape[0]) // h
+            sx = (np.arange(w, dtype=np.int64) * img.shape[1]) // w
+            img = img[sy[:, None], sx[None, :]]
+        out[i] = img
+    return out
+
+
 def _list_images(d: str) -> List[str]:
     if not os.path.isdir(d):
         return []

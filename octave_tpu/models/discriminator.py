@@ -80,12 +80,13 @@ class SpectralConv(nn.Module):
         if train:
             v = _l2_normalize(w_mat.T @ u, self.eps)
             u = _l2_normalize(w_mat @ v, self.eps)
-            if not self.is_initializing():
-                u_var.value = jax.lax.stop_gradient(u)
-                v_var.value = jax.lax.stop_gradient(v)
-            else:
-                u_var.value = u
-                v_var.value = v
+            # torch power-iterates under no_grad, so sigma's gradient flows
+            # only through W, never through the freshly updated u/v
+            # (torch spectral_norm._power_method; ADVICE r1).
+            u = jax.lax.stop_gradient(u)
+            v = jax.lax.stop_gradient(v)
+            u_var.value = u
+            v_var.value = v
         sigma = jnp.dot(u, w_mat @ v)
         kernel_sn = kernel / sigma
 

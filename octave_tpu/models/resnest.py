@@ -190,11 +190,17 @@ class SplAtConv2d(nn.Module):
     reduction_factor: int = 4
     use_bn: bool = True
     bn_axis_name: Optional[str] = None
+    # Inside ResNet, the reference's __init__ loop re-inits EVERY Conv2d —
+    # including SplAtConv2d's conv/fc1/fc2 — to N(0, sqrt(2/fan_out))
+    # (reference resnest.py:307-312); Bottleneck threads resnet_conv_init
+    # through here. Standalone (None) keeps the torch-default kaiming-uniform.
+    conv_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         radix, channels = self.radix, self.channels
         inter_channels = max(self.in_channels * radix // self.reduction_factor, 32)
+        kinit = self.conv_init
 
         x = Conv(
             features=channels * radix,
@@ -204,6 +210,7 @@ class SplAtConv2d(nn.Module):
             dilation=self.dilation,
             groups=self.groups * radix,
             use_bias=self.use_bias,
+            kernel_init=kinit,
             name="conv",
         )(x)
         if self.use_bn:
@@ -224,11 +231,13 @@ class SplAtConv2d(nn.Module):
         else:
             gap = x
         gap = jnp.mean(gap, axis=(1, 2), keepdims=True)  # (b,1,1,channels)
-        gap = Conv(features=inter_channels, kernel_size=1, groups=self.groups, name="fc1")(gap)
+        gap = Conv(features=inter_channels, kernel_size=1, groups=self.groups,
+                   kernel_init=kinit, name="fc1")(gap)
         if self.use_bn:
             gap = BatchNorm(inter_channels, axis_name=self.bn_axis_name, name="bn1")(gap, train)
         gap = nn.relu(gap)
-        atten = Conv(features=channels * radix, kernel_size=1, groups=self.groups, name="fc2")(gap)
+        atten = Conv(features=channels * radix, kernel_size=1, groups=self.groups,
+                     kernel_init=kinit, name="fc2")(gap)
         if radix > 1:
             # softmax over radix for each channel c: entries c, c+channels, …
             logits = atten.reshape(b, radix, channels)
@@ -315,6 +324,7 @@ class Bottleneck(nn.Module):
                 use_bias=False,
                 radix=self.radix,
                 bn_axis_name=self.bn_axis_name,
+                conv_init=kinit,
                 name="conv2",
             )(out, train)
         else:

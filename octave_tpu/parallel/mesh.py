@@ -103,3 +103,26 @@ def make_parallel_eval_step(eval_step, mesh: Mesh, axis: str = DATA_AXIS):
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+def make_parallel_eval_accumulate_step(acc_step, mesh: Mesh, axis: str = DATA_AXIS):
+    """shard_map the streaming-eval step: batch sharded, confusion counts and
+    ROC histograms psum'd over the mesh so the harness gets exact DATASET-
+    level accumulators (identical to single-device — no per-batch metric
+    averaging bias). Predictions are dropped on-device to avoid an
+    all-gather the eval loop never reads."""
+
+    def step(params, stats, batch):
+        _, conf, auc = acc_step(params, stats, batch)
+        conf = jax.tree.map(lambda x: jax.lax.psum(x, axis), conf)
+        auc = jax.tree.map(lambda x: jax.lax.psum(x, axis), auc)
+        return conf, auc
+
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -269,8 +269,12 @@ def make_eval_accumulate_step(segmentor: ResnestUNet, num_classes: int = 2,
         vessel_prob = pred[..., 1] if num_classes > 1 else pred[..., 0]
         target = batch["mask_onehot"][..., 1] if num_classes > 1 else batch["mask_onehot"][..., 0]
         hard = (vessel_prob >= threshold).astype(jnp.float32)
-        conf = ConfusionAccumulator.empty().update(hard, target)
-        auc = AucAccumulator.empty().update(vessel_prob, target)
+        # optional per-sample validity weight: 0 for tail-batch padding
+        # samples added so mesh shards stay equal-sized (they must not
+        # contribute to dataset-level counts)
+        weight = batch.get("sample_weight")
+        conf = ConfusionAccumulator.empty().update(hard, target, weight)
+        auc = AucAccumulator.empty().update(vessel_prob, target, weight)
         return pred, conf, auc
 
     return eval_step

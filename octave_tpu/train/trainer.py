@@ -162,12 +162,11 @@ class Trainer:
 
         step = make_train_step(self.segmentor, self.discriminator, self.step_cfg)
         ev = make_eval_step(self.segmentor, self.cfg.model.num_classes)
-        self._acc_step = jax.jit(
-            make_eval_accumulate_step(self.segmentor, self.cfg.model.num_classes)
-        )
+        acc = make_eval_accumulate_step(self.segmentor, self.cfg.model.num_classes)
         if self.cfg.train.data_parallel:
             from octave_tpu.parallel.mesh import (
                 make_mesh,
+                make_parallel_eval_accumulate_step,
                 make_parallel_eval_step,
                 make_parallel_train_step,
             )
@@ -175,11 +174,18 @@ class Trainer:
             self.mesh = make_mesh(self.cfg.train.n_devices)
             self.train_step = make_parallel_train_step(step, self.mesh)
             self.eval_step = make_parallel_eval_step(ev, self.mesh)
+            self._pacc_step = make_parallel_eval_accumulate_step(acc, self.mesh)
         else:
             self.train_step = jax.jit(step, donate_argnums=(0,))
             self.eval_step = jax.jit(ev)
+            self._pacc_step = None
+        self._acc_step = jax.jit(acc)
 
-    def _device_batch(self, host_batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    def _device_batch(
+        self,
+        host_batch: Dict[str, np.ndarray],
+        sample_weight: Optional[np.ndarray] = None,
+    ) -> Dict[str, Any]:
         cfg = self.cfg
         batch = prepare_batch(
             jnp.asarray(host_batch["image"]),
@@ -190,6 +196,8 @@ class Trainer:
             depth=max(cfg.model.discriminator_depth, 1),
             in_channels=cfg.data.in_channels,
         )
+        if sample_weight is not None:
+            batch["sample_weight"] = jnp.asarray(sample_weight, jnp.float32)
         if self.mesh is not None:
             from octave_tpu.parallel.mesh import shard_batch
 
@@ -283,41 +291,44 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def evaluate(self, state: TrainState) -> Dict[str, float]:
-        """Dataset-level metrics via streaming confusion/ROC accumulation
-        (no per-batch averaging bias; the tail batch is kept)."""
+        """Dataset-level metrics via streaming confusion/ROC accumulation —
+        identical semantics single-device and under the mesh (the sharded
+        path psums the SAME accumulators; a tail batch is padded to a
+        multiple of the mesh size with zero-weight samples, so nothing is
+        dropped and nothing is double-counted)."""
         from octave_tpu.utils.metrics import AucAccumulator, ConfusionAccumulator
 
         cfg = self.cfg
         eval_ds = build_dataset(cfg, "test")
         conf = ConfusionAccumulator.empty()
         auc = AucAccumulator.empty()
-        n = 0
-        agg: Dict[str, float] = {}
+        n_shards = self.mesh.devices.size if self.mesh is not None else 1
         for host_batch in ds.batch_iterator(
             eval_ds, cfg.data.batch_size, shuffle=False, epochs=1, drop_last=False
         ):
-            batch = self._device_batch(host_batch)
+            b = host_batch["image"].shape[0]
+            pad = (-b) % n_shards
+            weight = np.ones((b + pad,), np.float32)
+            if pad:
+                weight[b:] = 0.0
+                host_batch = {
+                    k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                    for k, v in host_batch.items()
+                }
+            batch = self._device_batch(host_batch, sample_weight=weight)
             if self.mesh is not None:
-                # mesh path needs equal shards: fall back to per-batch metric
-                # mean for the sharded evaluator
-                _, metrics = self.eval_step(state.seg_params, state.batch_stats, batch)
-                m = {k: float(v) for k, v in metrics.items()}
-                conf = conf  # unused on this path
-                n += 1
-                agg = m if n == 1 else {k: agg[k] + (m[k] - agg[k]) / n for k in m}
-                continue
-            _, c, a = self._acc_step(state.seg_params, state.batch_stats, batch)
+                c, a = self._pacc_step(state.seg_params, state.batch_stats, batch)
+            else:
+                _, c, a = self._acc_step(state.seg_params, state.batch_stats, batch)
             conf = ConfusionAccumulator(*(x + y for x, y in zip(conf, c)))
             auc = AucAccumulator(*(x + y for x, y in zip(auc, a)))
-            n += 1
-        if self.mesh is None:
-            agg = {
-                "dice": float(conf.dice()),
-                "iou": float(conf.iou()),
-                "accuracy": float(conf.accuracy()),
-                "sensitivity": float(conf.sensitivity()),
-                "specificity": float(conf.specificity()),
-                "auc": float(auc.auc()),
-            }
+        agg = {
+            "dice": float(conf.dice()),
+            "iou": float(conf.iou()),
+            "accuracy": float(conf.accuracy()),
+            "sensitivity": float(conf.sensitivity()),
+            "specificity": float(conf.specificity()),
+            "auc": float(auc.auc()),
+        }
         log.info("eval  %s", "  ".join(f"{k}={v:.4f}" for k, v in agg.items()))
         return agg

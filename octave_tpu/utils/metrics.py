@@ -27,9 +27,24 @@ class ConfusionAccumulator(NamedTuple):
         z = jnp.zeros((), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
         return cls(z, z, z, z)
 
-    def update(self, pred: jax.Array, target: jax.Array) -> "ConfusionAccumulator":
+    def update(
+        self, pred: jax.Array, target: jax.Array, weight: jax.Array = None
+    ) -> "ConfusionAccumulator":
+        """pred/target (b, ...) binary maps; optional per-sample weight (b,)
+        — a 0 weight drops the sample entirely (used for mesh tail-batch
+        padding, where shards must stay equal-sized)."""
         pred = pred.astype(jnp.float32)
         target = target.astype(jnp.float32)
+        if weight is not None:
+            w = weight.astype(jnp.float32).reshape(
+                (pred.shape[0],) + (1,) * (pred.ndim - 1)
+            )
+            return ConfusionAccumulator(
+                self.tp + jnp.sum(w * pred * target),
+                self.fp + jnp.sum(w * pred * (1 - target)),
+                self.fn + jnp.sum(w * (1 - pred) * target),
+                self.tn + jnp.sum(w * (1 - pred) * (1 - target)),
+            )
         return ConfusionAccumulator(
             self.tp + jnp.sum(pred * target),
             self.fp + jnp.sum(pred * (1 - target)),
@@ -74,13 +89,22 @@ class AucAccumulator(NamedTuple):
     def empty(cls, bins: int = 4096) -> "AucAccumulator":
         return cls(jnp.zeros((bins,), jnp.float32), jnp.zeros((bins,), jnp.float32))
 
-    def update(self, scores: jax.Array, target: jax.Array) -> "AucAccumulator":
+    def update(
+        self, scores: jax.Array, target: jax.Array, weight: jax.Array = None
+    ) -> "AucAccumulator":
         bins = self.pos_hist.shape[0]
         s = jnp.clip(scores.reshape(-1), 0.0, 1.0)
         t = target.reshape(-1).astype(jnp.float32)
+        if weight is None:
+            w = jnp.ones_like(t)
+        else:
+            wb = weight.astype(jnp.float32).reshape(
+                (scores.shape[0],) + (1,) * (scores.ndim - 1)
+            )
+            w = jnp.broadcast_to(wb, scores.shape).reshape(-1)
         idx = jnp.clip((s * bins).astype(jnp.int32), 0, bins - 1)
-        pos = jnp.zeros((bins,), jnp.float32).at[idx].add(t)
-        neg = jnp.zeros((bins,), jnp.float32).at[idx].add(1 - t)
+        pos = jnp.zeros((bins,), jnp.float32).at[idx].add(w * t)
+        neg = jnp.zeros((bins,), jnp.float32).at[idx].add(w * (1 - t))
         return AucAccumulator(self.pos_hist + pos, self.neg_hist + neg)
 
     def auc(self, eps: float = 1e-12) -> jax.Array:

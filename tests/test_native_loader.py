@@ -121,3 +121,86 @@ class TestBatch:
         assert s.image.shape == (20, 20)
         assert set(np.unique(s.mask)) <= {0, 1}
         assert set(np.unique(s.scribble)) <= {0, 1, 2}
+
+
+class TestMalformedFiles:
+    """Corrupt headers must fail cleanly — never OOB reads, bad_alloc
+    aborts, or uncaught exceptions in pool threads (ADVICE r1)."""
+
+    def test_bmp_truncated_palette(self, lib, tmp_path, gray):
+        # 8bpp BMP whose header claims pixel data right after a palette
+        # that isn't actually in the file (classic OOB heap-read shape)
+        h, w = 4, 4
+        rows = bytes(16)
+        # data_off points just past the 54-byte headers: NO palette present
+        header = (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+                  + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(rows), 0, 0, 256, 0))
+        p = str(tmp_path / "nopal.bmp")
+        with open(p, "wb") as f:
+            f.write(header + rows)
+        with pytest.raises(IOError):
+            native.decode_image(p)
+
+    def test_bmp_huge_dims_rejected(self, lib, tmp_path):
+        # header claims a 2**20 x 2**20 image in a 60-byte file: must fail
+        # before any allocation, not throw bad_alloc in a worker thread
+        header = (b"BM" + struct.pack("<IHHI", 60, 0, 0, 1078)
+                  + struct.pack("<IiiHHIIiiII", 40, 1 << 20, 1 << 20, 1, 8, 0, 0, 0, 0, 256, 0))
+        p = str(tmp_path / "huge.bmp")
+        with open(p, "wb") as f:
+            f.write(header + bytes(6))
+        with pytest.raises(IOError):
+            native.decode_image(p)
+
+    def test_bmp_data_offset_past_eof(self, lib, tmp_path):
+        header = (b"BM" + struct.pack("<IHHI", 60, 0, 0, 1 << 30)
+                  + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 24, 0, 0, 0, 0, 0, 0))
+        p = str(tmp_path / "offeof.bmp")
+        with open(p, "wb") as f:
+            f.write(header + bytes(6))
+        with pytest.raises(IOError):
+            native.decode_image(p)
+
+    def test_pgm_absurd_dims_rejected(self, lib, tmp_path):
+        p = str(tmp_path / "huge.pgm")
+        with open(p, "wb") as f:
+            f.write(b"P5 999999999 999999999 255\n")
+        with pytest.raises(IOError):
+            native.decode_image(p)
+
+    def test_batch_with_corrupt_file_counts_failure(self, lib, tmp_path, gray):
+        """A corrupt file in a threaded batch = zeroed slot + failure count,
+        and the process survives."""
+        good = str(tmp_path / "good.pgm")
+        _write_pgm(good, gray)
+        bad = str(tmp_path / "bad.bmp")
+        header = (b"BM" + struct.pack("<IHHI", 60, 0, 0, 54)
+                  + struct.pack("<IiiHHIIiiII", 40, 1 << 20, 1 << 20, 1, 8, 0, 0, 0, 0, 256, 0))
+        with open(bad, "wb") as f:
+            f.write(header + bytes(6))
+        with pytest.raises(IOError):
+            native.load_batch([good, bad], (16, 16))
+
+
+class TestPythonFallbackBatch:
+    def test_load_image_batch_matches_native(self, lib, tmp_path, rng):
+        """datasets.load_image_batch python fallback == native loader pixels
+        (same grayscale + nearest-resize semantics); the cli predict path
+        must never silently produce zeros (ADVICE r1)."""
+        from octave_tpu.data import datasets as dsm
+
+        paths = []
+        for i in range(3):
+            arr = rng.integers(0, 256, (21 + i, 33 - i), dtype=np.uint8)
+            p = str(tmp_path / f"i{i}.pgm")
+            _write_pgm(p, arr)
+            paths.append(p)
+        want = native.load_batch(paths, (16, 16))
+
+        # force the python fallback by patching availability
+        import unittest.mock as mock
+
+        with mock.patch.object(native, "available", lambda: False):
+            pytest.importorskip("PIL")
+            got = dsm.load_image_batch(paths, (16, 16))
+        np.testing.assert_array_equal(got, want)

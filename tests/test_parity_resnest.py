@@ -120,3 +120,29 @@ class TestResNeSt50:
         jy = np.asarray(jm.apply(variables, xj, False))
         assert ty.shape == jy.shape
         assert _max_err(ty, jy) < 5e-4
+
+
+def test_bottleneck_splat_conv_init_distribution():
+    """From-scratch init parity (ADVICE r1): inside Bottleneck the reference
+    ResNet __init__ loop re-inits EVERY Conv2d — including SplAtConv2d's
+    conv/fc1/fc2 — to N(0, sqrt(2/(kh*kw*out))) (reference extra/
+    resnest.py:368-371). Check the empirical std of each kernel."""
+    import math
+
+    from octave_tpu.models.resnest import Bottleneck
+
+    m = Bottleneck(inplanes=64, planes=64, radix=2, cardinality=1,
+                   avd=True, is_first=False, has_downsample=True)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 64)), False)
+    splat = v["params"]["conv2"]
+    checked = 0
+    for name in ("conv", "fc1", "fc2"):
+        sub = splat[name]
+        # Conv wrapper nests the flax conv under another "conv" level
+        kern = np.asarray(sub["conv"]["kernel"] if "conv" in sub else sub["kernel"])
+        n = kern.shape[0] * kern.shape[1] * kern.shape[3]
+        want = math.sqrt(2.0 / n)
+        got = float(kern.std())
+        assert abs(got - want) / want < 0.1, (name, got, want)
+        checked += 1
+    assert checked == 3

@@ -197,6 +197,43 @@ class TestDiscriminatorParity:
             ju = np.asarray(mutated["spectral"][f"spectral_{i}"]["u"])
             assert _max_err(tu, ju) < 1e-5, f"u mismatch at depth {i}"
 
+    def test_spectral_norm_gradient_parity(self, torch_reference, rng):
+        """Train-mode GRADIENT parity with torch spectral_norm: torch power-
+        iterates u/v under no_grad, so d(loss)/dW flows only through W (both
+        directly and via sigma's dot product) — never through the freshly
+        updated u/v (ADVICE r1 discriminator finding)."""
+        torch = torch_reference
+        from octave_tpu.models.discriminator import SpectralConv
+
+        cin, cout, k = 3, 4, 3
+        conv = torch.nn.Conv2d(cin, cout, k, stride=1, padding=1)
+        sn = torch.nn.utils.spectral_norm(conv)
+        # capture u/v BEFORE the torch forward: both sides then run the same
+        # single power iteration inside their train forward
+        sd0 = {n: p.detach().numpy().copy() for n, p in sn.state_dict().items()}
+        sn.train()
+        x = rng.standard_normal((2, cin, 8, 8)).astype(np.float32)
+        out = sn(torch.from_numpy(x))
+        out.sum().backward()
+        t_grad = conv.weight_orig.grad.detach().numpy().copy()
+
+        jm = SpectralConv(features=cout, kernel_size=k, strides=1, padding=1)
+        xj = jnp.asarray(x).transpose(0, 2, 3, 1)
+        params = {
+            "kernel": jnp.asarray(sd0["weight_orig"]).transpose(2, 3, 1, 0),
+            "bias": jnp.asarray(sd0["bias"]),
+        }
+        spectral = {"u": jnp.asarray(sd0["weight_u"]), "v": jnp.asarray(sd0["weight_v"])}
+
+        def loss_fn(p):
+            y, _ = jm.apply(
+                {"params": p, "spectral": spectral}, xj, True, mutable=["spectral"]
+            )
+            return jnp.sum(y)
+
+        j_grad = np.asarray(jax.grad(loss_fn)(params)["kernel"]).transpose(3, 2, 0, 1)
+        assert _max_err(t_grad, j_grad) < 1e-4
+
 
 @pytest.mark.slow
 class TestParallelHeadGateParity:

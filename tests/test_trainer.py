@@ -122,3 +122,26 @@ def test_cli_convert_roundtrip(tmp_path, torch_reference):
     k = np.asarray(tree["params"]["stem_conv1"]["conv"]["kernel"])
     tk = tm.state_dict()["conv1.0.weight"].numpy().transpose(2, 3, 1, 0)
     np.testing.assert_array_equal(k, tk)
+
+@pytest.mark.slow
+def test_trainer_mesh_eval_matches_single_device():
+    """Trainer.evaluate under data_parallel (8-device virtual mesh, ragged
+    batches padded with zero-weight samples) == single-device evaluate on
+    the same weights (VERDICT r1 item 4 done-criterion)."""
+    from octave_tpu.train.trainer import Trainer
+
+    # batch 4 over 8 shards -> every batch padded; n=6 with batch 4 -> a
+    # ragged tail batch of 2 as well
+    cfg1 = _tiny_cfg(None, **{"data.batch_size": 4, "model.discriminator_depth": 0})
+    t1 = Trainer(cfg1)
+    s1 = t1.init_state()
+    m1 = t1.evaluate(s1)
+
+    cfg2 = _tiny_cfg(None, **{"data.batch_size": 4, "model.discriminator_depth": 0,
+                              "train.data_parallel": "true", "train.n_devices": 8})
+    t2 = Trainer(cfg2)
+    s2 = t2.init_state()  # same seed -> identical weights
+    m2 = t2.evaluate(s2)
+
+    for k in m1:
+        assert abs(m1[k] - m2[k]) < 1e-4, (k, m1[k], m2[k])
