@@ -197,7 +197,15 @@ class SplAtConv2d(nn.Module):
     conv_init: Optional[Callable] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, return_parts: bool = False
+    ) -> jax.Array:
+        """With return_parts=True (radix>1 only), stops before the radix-
+        softmax apply and returns (z, attn_logits): z (b,h,w,C*radix) is the
+        post-BN0+ReLU conv output, attn_logits (b, C*radix) the raw fc2
+        logits laid out [radix0 channels..., radix1 channels...]. The fused
+        decoder-epilogue Pallas kernel consumes these and performs the apply
+        itself (ops/pallas/decoder_epilogue.py)."""
         radix, channels = self.radix, self.channels
         inter_channels = max(self.in_channels * radix // self.reduction_factor, 32)
         kinit = self.conv_init
@@ -238,6 +246,10 @@ class SplAtConv2d(nn.Module):
         gap = nn.relu(gap)
         atten = Conv(features=channels * radix, kernel_size=1, groups=self.groups,
                      kernel_init=kinit, name="fc2")(gap)
+        if return_parts:
+            if radix != 2:
+                raise NotImplementedError("return_parts requires radix=2")
+            return x, atten.reshape(b, channels * radix)
         if radix > 1:
             # softmax over radix for each channel c: entries c, c+channels, …
             logits = atten.reshape(b, radix, channels)
@@ -540,7 +552,14 @@ class ResNestDecoder(nn.Module):
     bn_axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> jax.Array:
+    def __call__(self, x, train: bool = False, aag_kb=None):
+        """aag_kb: optional (kernel (C,K), bias (K,)) of the attention gate
+        that follows this block. When given (eval only), the block's tail —
+        radix-softmax apply, inner ReLU, shortcut-BN affine + residual add,
+        outer ReLU, and the AAG itself — runs as ONE fused Pallas pass
+        (ops/pallas/decoder_epilogue.py) and the call returns
+        (gated, y_hat) instead of the plain output. The parameter tree is
+        identical either way."""
         if isinstance(x, tuple):
             a, b = x
             ca = a.shape[-1]
@@ -569,14 +588,33 @@ class ResNestDecoder(nn.Module):
 
         out = BatchNorm(self.out_channels, axis_name=self.bn_axis_name, name="bn1")(out, train)
         out = nn.relu(out)
-        out = SplAtConv2d(
+        splat = SplAtConv2d(
             in_channels=self.out_channels, channels=self.out_channels,
             kernel_size=3, padding=1, strides=1, groups=2, radix=2,
             use_bias=True, bn_axis_name=self.bn_axis_name, name="splat",
-        )(out, train)
-        out = nn.relu(out)
+        )
+        res_bn = BatchNorm(self.out_channels, axis_name=self.bn_axis_name,
+                           name="downsample_bn")
 
-        residual = BatchNorm(self.out_channels, axis_name=self.bn_axis_name, name="downsample_bn")(residual, train)
+        if aag_kb is not None and not train:
+            from octave_tpu.ops.pallas.decoder_epilogue import fused_decoder_epilogue
+
+            z, attn = splat(out, train, return_parts=True)
+            # the eval-mode shortcut BN is a per-channel affine; probe it on
+            # (1,1,1,C) constants instead of paying a full-tensor HBM pass —
+            # the kernel applies the affine in-register. Works identically
+            # with raw or folded batch stats.
+            probe = jnp.zeros((1, 1, 1, self.out_channels), residual.dtype)
+            b0 = res_bn(probe, False)
+            a = res_bn(probe + 1.0, False) - b0
+            return fused_decoder_epilogue(
+                z, attn, residual,
+                a.reshape(-1), b0.reshape(-1), aag_kb[0], aag_kb[1],
+            )
+
+        out = splat(out, train)
+        out = nn.relu(out)
+        residual = res_bn(residual, train)
         return nn.relu(residual + out)
 
 

@@ -74,7 +74,15 @@ class AdversarialAttentionGate(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def __call__(
+        self, x: Optional[jax.Array] = None, return_params: bool = False
+    ) -> Tuple[jax.Array, jax.Array]:
+        if return_params:
+            # hand the gate's (kernel, bias) to a caller that fuses the gate
+            # into a larger kernel (the decoder-epilogue path); same
+            # parameter tree as the Conv path
+            k, b = _AAGParams(self.in_channels, self.out_channels, name="conv1")()
+            return k.reshape(self.in_channels, self.out_channels), b
         if self.use_pallas:
             from octave_tpu.ops.pallas.aag import fused_aag
 
@@ -150,6 +158,10 @@ class ResnestUNet(nn.Module):
     encoder_gating: bool = False
     bn_axis_name: Optional[str] = None
     use_pallas_aag: bool = False
+    # eval-only: run each gated decoder block's tail (radix apply + residual
+    # + ReLUs + AAG) as one fused Pallas pass (ops/pallas/decoder_epilogue).
+    # Parameter tree is identical, so checkpoints/converters are oblivious.
+    use_fused_decoder: bool = False
 
     def setup(self):
         ax = self.bn_axis_name
@@ -220,41 +232,36 @@ class ResnestUNet(nn.Module):
             g_x.append(self.encoder_4_gate(x_4))
 
         attentions = []
+        fuse = self.use_fused_decoder and not train
+
+        def stage(depth, decoder, aag, inp):
+            """One decoder stage: plain decoder + AAG, or — when fusing and
+            this depth is gated — the decoder's fused tail which performs the
+            AAG inside the same Pallas pass."""
+            gated = self.gating_level >= depth
+            if fuse and gated:
+                d, y = decoder(inp, train, aag_kb=aag(return_params=True))
+                attentions.append(y)
+                return d
+            d = decoder(inp, train)
+            if gated:
+                d, y = aag(d)
+                attentions.append(y)
+            return d
 
         # skip-concats are passed as (skip, up) PAIRS: the decoder's first
         # convs split their kernels along input channels instead of reading a
         # materialized concat (exact math — conv is linear in channels)
         d_4 = self.upsampling_4(x_4)
-        d_4 = (_crop_pad(x_3, down_padding, right_padding),
-               _crop_pad(d_4, down_padding, right_padding))
-        d_4 = self.decoder_4(d_4, train)
-        if self.gating_level >= 4:
-            d_4, y_4 = self.aag_4(d_4)
-            attentions.append(y_4)
+        d_4 = stage(4, self.decoder_4, self.aag_4,
+                    (_crop_pad(x_3, down_padding, right_padding),
+                     _crop_pad(d_4, down_padding, right_padding)))
 
-        d_3 = self.upsampling_3(d_4)
-        d_3 = self.decoder_3((x_2, d_3), train)
-        if self.gating_level >= 3:
-            d_3, y_3 = self.aag_3(d_3)
-            attentions.append(y_3)
-
-        d_2 = self.upsampling_2(d_3)
-        d_2 = self.decoder_2((x_1, d_2), train)
-        if self.gating_level >= 2:
-            d_2, y_2 = self.aag_2(d_2)
-            attentions.append(y_2)
-
-        d_1 = self.upsampling_1(d_2)
-        d_1 = self.decoder_1((x_0_0, d_1), train)
-        if self.gating_level >= 1:
-            d_1, y_1 = self.aag_1(d_1)
-            attentions.append(y_1)
-
-        d_0 = self.upsampling_0(d_1)
-        d_0 = self.decoder_0(d_0, train)  # depth 0: no skip (compose.py:175-176)
-        if self.gating_level >= 0:
-            d_0, y_0 = self.aag_0(d_0)
-            attentions.append(y_0)
+        d_3 = stage(3, self.decoder_3, self.aag_3, (x_2, self.upsampling_3(d_4)))
+        d_2 = stage(2, self.decoder_2, self.aag_2, (x_1, self.upsampling_2(d_3)))
+        d_1 = stage(1, self.decoder_1, self.aag_1, (x_0_0, self.upsampling_1(d_2)))
+        # depth 0: no skip (compose.py:175-176)
+        d_0 = stage(0, self.decoder_0, self.aag_0, self.upsampling_0(d_1))
 
         agg_map = self.fc(d_0)
         attentions.reverse()
@@ -361,19 +368,23 @@ class ResnestUnetParallelHead(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x_0_0, x_1, x_2, x_3, x_4, down, right = self._trunk(x, train)
 
+        # skip-concats as (skip, up) pairs — the decoder splits its kernels
+        # along input channels; exact math, no materialized concat (same
+        # flagship optimization as ResnestUNet)
         d_4 = self.upsampling_4(x_4)
-        d_4 = _crop_pad(jnp.concatenate((x_3, d_4), axis=-1), down, right)
-        d_4 = self.decoder_4(d_4, train)
+        d_4 = self.decoder_4(
+            (_crop_pad(x_3, down, right), _crop_pad(d_4, down, right)), train
+        )
         d_3 = self.upsampling_3(d_4)
-        d_3 = self.decoder_3(jnp.concatenate((x_2, d_3), axis=-1), train)
+        d_3 = self.decoder_3((x_2, d_3), train)
         d_2 = self.upsampling_2(d_3)
-        d_2 = self.decoder_2(jnp.concatenate((x_1, d_2), axis=-1), train)
+        d_2 = self.decoder_2((x_1, d_2), train)
         d_1 = self.upsampling_1(d_2)
-        d_1 = self.decoder_1(jnp.concatenate((x_0_0, d_1), axis=-1), train)
+        d_1 = self.decoder_1((x_0_0, d_1), train)
         d_0 = self.decoder_0(self.upsampling_0(d_1), train)
 
         d_1_c = self.upsampling_1_c(x_1)
-        d_1_c = self.decoder_1_c(jnp.concatenate((x_0_0, d_1_c), axis=-1), train)
+        d_1_c = self.decoder_1_c((x_0_0, d_1_c), train)
         d_0_c = self.decoder_0_c(self.upsampling_0_c(d_1_c), train)
 
         agg_map = self.fc(d_0)
@@ -397,6 +408,7 @@ class ResnestUnetParallelHeadAttentionGate(nn.Module):
     gating_level: int = 3
     bn_axis_name: Optional[str] = None
     use_pallas_aag: bool = False
+    use_fused_decoder: bool = False  # eval-only fused decoder tail + AAG
 
     def setup(self):
         ax = self.bn_axis_name
@@ -436,47 +448,39 @@ class ResnestUnetParallelHeadAttentionGate(nn.Module):
         x_4 = bb.layer4(x_3, train)
 
         attentions, attentions_c = [], []
+        fuse = self.use_fused_decoder and not train
+
+        def stage(gated, decoder, aag, inp, sink):
+            """Skip-pairs + (when fusing and gated) the decoder's fused
+            Pallas tail — same machinery as ResnestUNet."""
+            if fuse and gated:
+                d, y = decoder(inp, train, aag_kb=aag(return_params=True))
+                sink.append(y)
+                return d
+            d = decoder(inp, train)
+            if gated:
+                d, y = aag(d)
+                sink.append(y)
+            return d
 
         d_4 = self.upsampling_4(x_4)
-        d_4 = _crop_pad(jnp.concatenate((x_3, d_4), axis=-1), down, right)
-        d_4 = self.decoder_4(d_4, train)
-        if self.gating_level > 3:  # strict, compose.py:466
-            d_4, y_4 = self.aag_4(d_4)
-            attentions.append(y_4)
+        # strict `> 3` at depth 4 (compose.py:466), unlike ResnestUNet's >= 4
+        d_4 = stage(self.gating_level > 3, self.decoder_4, self.aag_4,
+                    (_crop_pad(x_3, down, right), _crop_pad(d_4, down, right)),
+                    attentions)
+        d_3 = stage(self.gating_level >= 3, self.decoder_3, self.aag_3,
+                    (x_2, self.upsampling_3(d_4)), attentions)
+        d_2 = stage(self.gating_level >= 2, self.decoder_2, self.aag_2,
+                    (x_1, self.upsampling_2(d_3)), attentions)
+        d_1 = stage(self.gating_level >= 1, self.decoder_1, self.aag_1,
+                    (x_0_0, self.upsampling_1(d_2)), attentions)
+        d_0 = stage(self.gating_level >= 0, self.decoder_0, self.aag_0,
+                    self.upsampling_0(d_1), attentions)
 
-        d_3 = self.upsampling_3(d_4)
-        d_3 = self.decoder_3(jnp.concatenate((x_2, d_3), axis=-1), train)
-        if self.gating_level >= 3:
-            d_3, y_3 = self.aag_3(d_3)
-            attentions.append(y_3)
-
-        d_2 = self.upsampling_2(d_3)
-        d_2 = self.decoder_2(jnp.concatenate((x_1, d_2), axis=-1), train)
-        if self.gating_level >= 2:
-            d_2, y_2 = self.aag_2(d_2)
-            attentions.append(y_2)
-
-        d_1 = self.upsampling_1(d_2)
-        d_1 = self.decoder_1(jnp.concatenate((x_0_0, d_1), axis=-1), train)
-        if self.gating_level >= 1:
-            d_1, y_1 = self.aag_1(d_1)
-            attentions.append(y_1)
-
-        d_0 = self.decoder_0(self.upsampling_0(d_1), train)
-        if self.gating_level >= 0:
-            d_0, y_0 = self.aag_0(d_0)
-            attentions.append(y_0)
-
-        d_1_c = self.upsampling_1_c(x_1)
-        d_1_c = self.decoder_1_c(jnp.concatenate((x_0_0, d_1_c), axis=-1), train)
-        if self.gating_level >= 1:
-            d_1_c, y_1_c = self.aag_1_c(d_1_c)
-            attentions_c.append(y_1_c)
-
-        d_0_c = self.decoder_0_c(self.upsampling_0_c(d_1_c), train)
-        if self.gating_level >= 0:
-            d_0_c, y_0_c = self.aag_0_c(d_0_c)
-            attentions_c.append(y_0_c)
+        d_1_c = stage(self.gating_level >= 1, self.decoder_1_c, self.aag_1_c,
+                      (x_0_0, self.upsampling_1_c(x_1)), attentions_c)
+        d_0_c = stage(self.gating_level >= 0, self.decoder_0_c, self.aag_0_c,
+                      self.upsampling_0_c(d_1_c), attentions_c)
 
         attentions.reverse()
         attentions_c.reverse()

@@ -30,11 +30,16 @@ class Predictor:
         method: str = "softmax",
         dtype=jnp.bfloat16,
         use_pallas_aag: bool = False,
+        use_fused_decoder: bool = False,
         fold_bn: bool = True,
         output_format: str = "prob_f32",  # 'prob_f32' | 'prob_f16' | 'mask_u8'
         mesh=None,
     ):
-        self.model = ResnestUNet(num_classes=num_classes, use_pallas_aag=use_pallas_aag)
+        self.model = ResnestUNet(
+            num_classes=num_classes,
+            use_pallas_aag=use_pallas_aag,
+            use_fused_decoder=use_fused_decoder,
+        )
         self.method = method
         self.dtype = dtype
         self._fold_bn = fold_bn
@@ -124,8 +129,10 @@ class Predictor:
 
         inflight: deque = deque()
         for batch in batches:
-            inflight.append(self._fn(self.variables, self._put(batch)))
-            if len(inflight) > depth:
+            # drain BEFORE dispatching so at most `depth` calls are ever in
+            # flight (dispatch-then-drain briefly held depth+1)
+            if len(inflight) >= depth:
                 yield np.asarray(inflight.popleft())
+            inflight.append(self._fn(self.variables, self._put(batch)))
         while inflight:
             yield np.asarray(inflight.popleft())

@@ -76,7 +76,8 @@ class TestFusedDecoderEpilogue:
         c = z.shape[-1] // 2
         a = jax.nn.softmax(attn_logits.reshape(z.shape[0], 2, c), axis=1)
         s = z[..., :c] * a[:, 0][:, None, None, :] + z[..., c:] * a[:, 1][:, None, None, :]
-        y = jax.nn.relu(s + res * rs + rb)
+        # decoder block tail: relu(residual_affine + relu(splat_out))
+        y = jax.nn.relu(jax.nn.relu(s) + res * rs + rb)
         logits = jnp.einsum("bhwc,ck->bhwk", y, w) + b
         yh = jax.nn.softmax(logits, axis=-1)
         mask = jnp.sum(yh[..., 1:], axis=-1, keepdims=True)
@@ -98,3 +99,61 @@ class TestFusedDecoderEpilogue:
         ref_out, ref_yh = self._reference(z, attn, res, rs, rb, w, bb)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5)
         np.testing.assert_allclose(np.asarray(yh), np.asarray(ref_yh), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_unet_with_fused_decoder_matches(rng):
+    """Full segmentor with use_fused_decoder: identical params, outputs
+    match the unfused eval path (the fused tail covers radix apply + inner
+    ReLU + shortcut-BN affine + residual + outer ReLU + AAG)."""
+    from octave_tpu.models.segmentor import ResnestUNet
+
+    x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
+    m0 = ResnestUNet(num_classes=2)
+    m1 = ResnestUNet(num_classes=2, use_fused_decoder=True)
+    v = m0.init(jax.random.PRNGKey(0), x, False)
+    # identical param trees (checkpoint compatibility)
+    assert jax.tree_util.tree_structure(
+        m1.init(jax.random.PRNGKey(0), x, False)
+    ) == jax.tree_util.tree_structure(v)
+    atts0, agg0, _ = m0.apply(v, x, False)
+    atts1, agg1, _ = m1.apply(v, x, False)
+    np.testing.assert_allclose(np.asarray(agg0), np.asarray(agg1), atol=1e-4)
+    for a0, a1 in zip(atts0, atts1):
+        np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_unet_fused_decoder_folded_bn_matches(rng):
+    """Fused decoder under fold_batch_stats + folded_inference (the
+    production serving config) still matches the plain eval forward."""
+    from octave_tpu.models.segmentor import ResnestUNet
+    from octave_tpu.ops.norm import fold_batch_stats, folded_inference
+
+    x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
+    m0 = ResnestUNet(num_classes=2)
+    m1 = ResnestUNet(num_classes=2, use_fused_decoder=True)
+    v = m0.init(jax.random.PRNGKey(0), x, False)
+    # make the stats non-trivial so folding actually changes the affine
+    v = jax.tree.map(lambda p: p, v)
+    import flax
+
+    stats = flax.traverse_util.flatten_dict(v["batch_stats"])
+    key = jax.random.PRNGKey(1)
+    new_stats = {}
+    for path, val in stats.items():
+        key, k2 = jax.random.split(key)
+        if path[-1] == "mean":
+            new_stats[path] = 0.1 * jax.random.normal(k2, val.shape)
+        else:
+            new_stats[path] = 1.0 + 0.2 * jax.random.uniform(k2, val.shape)
+    v = dict(v)
+    v["batch_stats"] = flax.traverse_util.unflatten_dict(new_stats)
+
+    atts0, agg0, _ = m0.apply(v, x, False)
+    vf = fold_batch_stats(v)
+    with folded_inference():
+        atts1, agg1, _ = m1.apply(vf, x, False)
+    np.testing.assert_allclose(np.asarray(agg0), np.asarray(agg1), atol=2e-4)
+    for a0, a1 in zip(atts0, atts1):
+        np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), atol=2e-4)

@@ -263,3 +263,39 @@ class TestParallelHeadGateParity:
             assert _max_err(ta.numpy(), _nchw(ja)) < 5e-4
         j_agg_nchw = np.asarray(j_agg).transpose(0, 1, 4, 2, 3)
         assert _max_err(t_agg.numpy(), j_agg_nchw) < 5e-4
+
+
+@pytest.mark.slow
+class TestFullResolutionParity:
+    """Full-resolution torch parity (VERDICT r1 item 5): the Dice-parity
+    claim rests on predict() matching at the REAL benchmark geometries, not
+    just 112². Tolerance 1e-3 at fp32 (reference compose.py:100-199)."""
+
+    def _run(self, torch_reference, rng, hw):
+        torch = torch_reference
+        from architectures.segmentor.compose import ResnestUNet as TorchUNet
+
+        tm = TorchUNet(num_classes=2, pretrain=False, gating_level=4)
+        tm.eval()
+        x = rng.standard_normal((1, 3, hw, hw), dtype=np.float32)
+        with torch.no_grad():
+            t_atts, t_pred = tm.predict(torch.from_numpy(x), "softmax")
+
+        variables = convert_resnest_unet(_sd_numpy(tm))
+        jm = ResnestUNet(num_classes=2, gating_level=4)
+        xj = jnp.asarray(x).transpose(0, 2, 3, 1)
+        variables = merge_variables(jm.init(jax.random.PRNGKey(0), xj, False), variables)
+        j_atts, j_pred = jm.apply(variables, xj, "softmax", False,
+                                  method=ResnestUNet.predict)
+
+        assert len(t_atts) == len(j_atts) == 5
+        for i, (ta, ja) in enumerate(zip(t_atts, j_atts)):
+            assert ta.shape[2] == ja.shape[1], f"depth {i} spatial mismatch @ {hw}"
+            assert _max_err(ta.numpy(), _nchw(ja)) < 1e-3, f"attention {i} @ {hw}"
+        assert _max_err(t_pred.numpy(), _nchw(j_pred)) < 1e-3, f"pred @ {hw}"
+
+    def test_304(self, torch_reference, rng):
+        self._run(torch_reference, rng, 304)
+
+    def test_400(self, torch_reference, rng):
+        self._run(torch_reference, rng, 400)
