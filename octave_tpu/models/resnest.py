@@ -37,6 +37,7 @@ from octave_tpu.ops.common import (
     resnet_conv_init,
     torch_conv_bias_init,
 )
+from octave_tpu.ops import quant
 from octave_tpu.ops.norm import BatchNorm
 
 
@@ -102,6 +103,22 @@ class Conv(nn.Module):
         kinit = self.kernel_init or kaiming_uniform_torch()
         binit = self.bias_init or torch_conv_bias_init(fan_in)
         ph, pw = _pair(self.padding)
+
+        quant.record_absmax(self, x)
+        q_scale = quant.scale_for(self)
+        if q_scale is not None:
+            # int8 PTQ serving path (ops/quant.py): same param tree as
+            # nn.Conv (conv/{kernel,bias}), int8 conv + fused dequant.
+            leaf = _ConvParams(
+                (kh, kw, in_ch // self.groups, self.features), kinit,
+                (self.features,) if self.use_bias else None, binit, name="conv",
+            )
+            kernel, bias = leaf()
+            return quant.int8_conv(
+                x, kernel, bias, q_scale,
+                strides=_pair(self.strides), padding=[(ph, ph), (pw, pw)],
+                dilation=_pair(self.dilation), groups=self.groups,
+            )
 
         if self.groups > 1 and _GroupsAsDense.active:
             g = self.groups
@@ -571,6 +588,18 @@ class ResNestDecoder(nn.Module):
                     None, torch_conv_bias_init(self.in_channels * k * k), name=name,
                 )
                 kernel, _ = leaf()
+                # int8 PTQ (ops/quant.py): per-operand activation scales —
+                # skip and upsample branches have different ranges.
+                quant.record_absmax(self, a, f"{name}_a_absmax")
+                quant.record_absmax(self, b, f"{name}_b_absmax")
+                qa = quant.scale_for(self, f"{name}_a_absmax")
+                qb = quant.scale_for(self, f"{name}_b_absmax")
+                if qa is not None and qb is not None:
+                    pad2 = [(pad, pad), (pad, pad)]
+                    return (
+                        quant.int8_conv(a, kernel[:, :, :ca, :], None, qa, padding=pad2)
+                        + quant.int8_conv(b, kernel[:, :, ca:, :], None, qb, padding=pad2)
+                    )
                 args = dict(
                     window_strides=(1, 1), padding=[(pad, pad), (pad, pad)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),

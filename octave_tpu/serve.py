@@ -34,7 +34,13 @@ class Predictor:
         fold_bn: bool = True,
         output_format: str = "prob_f32",  # 'prob_f32' | 'prob_f16' | 'mask_u8'
         mesh=None,
+        int8_decoder: bool = False,
+        calibration_batches=None,
     ):
+        """int8_decoder: PTQ the bandwidth-bound decoder stages to int8
+        activations/weights (ops/quant.py). Requires `calibration_batches`
+        (an iterable of input batches, uint8 or float [0,1]) to set the
+        static activation scales; 1-4 representative batches suffice."""
         self.model = ResnestUNet(
             num_classes=num_classes,
             use_pallas_aag=use_pallas_aag,
@@ -62,6 +68,15 @@ class Predictor:
                 lambda x: jax.device_put(x, NamedSharding(mesh, P())), self.variables
             )
 
+        self._quant_scales = None
+        if int8_decoder:
+            if calibration_batches is None:
+                raise ValueError(
+                    "int8_decoder=True requires calibration_batches "
+                    "(a few representative input batches)"
+                )
+            self._quant_scales = self._calibrate(calibration_batches)
+
         def fwd(params, image):
             if jnp.issubdtype(image.dtype, jnp.integer):
                 # uint8 wire format: 4x smaller host->device uploads; the
@@ -79,19 +94,58 @@ class Predictor:
                 return pred.astype(jnp.float16)
             return pred.astype(jnp.float32)
 
+        self._raw_fwd = fwd
         jitted = jax.jit(fwd)
 
-        if fold_bn:
+        def call(params, image):
+            # the trace contexts only affect tracing; cached execs are free
+            with self._trace_ctx():
+                return jitted(params, image)
+
+        self._fn = call
+        self._scan_jitted = None
+
+    def _trace_ctx(self):
+        """Context managers active while the serving graph traces (folded-BN
+        affine reads, int8 decoder). No-ops on cached executions."""
+        import contextlib
+
+        st = contextlib.ExitStack()
+        if self._fold_bn:
             from octave_tpu.ops.norm import folded_inference
 
-            def call(params, image):
-                # the context only affects tracing; cached executions are free
-                with folded_inference():
-                    return jitted(params, image)
+            st.enter_context(folded_inference())
+        if self._quant_scales is not None:
+            from octave_tpu.ops import quant
 
-            self._fn = call
-        else:
-            self._fn = jitted
+            st.enter_context(quant.quantized_inference(self._quant_scales))
+        return st
+
+    def _calibrate(self, batches) -> dict:
+        """Collect decoder activation scales (ops/quant.py) by running the
+        calibration batches through the same (folded, bf16) eval graph."""
+        from octave_tpu.ops import quant
+        from octave_tpu.ops.norm import folded_inference
+
+        import contextlib
+
+        @jax.jit
+        def step(vs, image):
+            if jnp.issubdtype(image.dtype, jnp.integer):
+                image = image.astype(self.dtype) / jnp.asarray(255.0, self.dtype)
+            _, mut = self.model.apply(
+                vs, image.astype(self.dtype), False, mutable=["quant_stats"]
+            )
+            return mut["quant_stats"]
+
+        def apply_fn(vs, batch, mutable):
+            with contextlib.ExitStack() as st:
+                if self._fold_bn:
+                    st.enter_context(folded_inference())
+                return None, {"quant_stats": step(vs, self._put(batch))}
+
+        stats = quant.calibrate(apply_fn, self.variables, batches)
+        return quant.scales_from_stats(stats)
 
     @classmethod
     def initialize(cls, image_hw: Tuple[int, int] = (304, 304), seed: int = 0, **kw):
@@ -115,6 +169,38 @@ class Predictor:
     def __call__(self, batch: np.ndarray) -> np.ndarray:
         """Synchronous single-batch prediction (b,h,w,3) → (b,h,w,c)."""
         return np.asarray(self._fn(self.variables, self._put(batch)))
+
+    def predict_many(self, stack: np.ndarray) -> np.ndarray:
+        """Aggregated dispatch: run a (k, b, h, w, 3) stack of batches in ONE
+        device dispatch via lax.scan. Amortizes per-dispatch host overhead
+        (~28 ms on the relay link) over k batches while HBM holds only one
+        batch's activations at a time — the throughput-serving counterpart of
+        predict_stream's latency pipelining."""
+        return np.asarray(self.predict_many_device(stack))
+
+    def predict_many_device(self, stack: np.ndarray) -> jax.Array:
+        """predict_many without the device->host transfer — returns the
+        (k, b, ...) device array (for on-device postprocessing or metrics)."""
+        if self._scan_jitted is None:
+
+            def fwd_k(params, xs):
+                return jax.lax.scan(
+                    lambda _, xi: (None, self._raw_fwd(params, xi)), None, xs
+                )[1]
+
+            self._scan_jitted = jax.jit(fwd_k)
+
+        x = (
+            jnp.asarray(stack)
+            if stack.dtype == np.uint8
+            else jnp.asarray(stack, self.dtype)
+        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x = jax.device_put(x, NamedSharding(self.mesh, P(None, "data")))
+        with self._trace_ctx():
+            return self._scan_jitted(self.variables, x)
 
     def predict_stream(
         self, batches: Iterable[np.ndarray], depth: int = 2

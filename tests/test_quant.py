@@ -1,0 +1,135 @@
+"""int8 PTQ serving path (ops/quant.py): op-level error bounds, calibration
+harness, end-to-end Predictor parity, and param-tree invariance.
+
+The reference ships no quantized path (it is a torch fp32 library); this is
+framework-supplied serving machinery for the BASELINE throughput target, so
+the tests here bound quantization error against our own fp path rather than
+against torch.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from octave_tpu.ops import quant
+
+
+class TestInt8Conv:
+    def test_matches_fp_conv_within_tolerance(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 32)), jnp.float32)
+        w = jnp.asarray(rng.normal(0, 0.1, (3, 3, 32, 64)), jnp.float32)
+        b = jnp.asarray(rng.normal(0, 0.1, (64,)), jnp.float32)
+        sx = float(jnp.max(jnp.abs(x))) / 127.0
+        yq = quant.int8_conv(x, w, b, sx, padding=[(1, 1), (1, 1)])
+        yf = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        rel = float(jnp.linalg.norm(yq - yf) / jnp.linalg.norm(yf))
+        assert rel < 0.02, rel
+
+    def test_grouped_conv(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 32)), jnp.float32)
+        w = jnp.asarray(rng.normal(0, 0.1, (3, 3, 8, 64)), jnp.float32)
+        sx = float(jnp.max(jnp.abs(x))) / 127.0
+        yq = quant.int8_conv(x, w, None, sx, padding=[(1, 1), (1, 1)], groups=4)
+        yf = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=4,
+        )
+        rel = float(jnp.linalg.norm(yq - yf) / jnp.linalg.norm(yf))
+        assert rel < 0.02, rel
+
+    def test_weight_quantization_saturates_at_127(self):
+        w = jnp.asarray(np.random.default_rng(2).normal(0, 1, (3, 3, 4, 8)), jnp.float32)
+        wq, ws = quant.quantize_weight(w)
+        assert wq.dtype == jnp.int8
+        assert int(jnp.max(jnp.abs(wq.astype(jnp.int32)))) <= 127
+        # per-out-channel scale reconstructs the channel absmax
+        rec = wq.astype(jnp.float32) * ws
+        assert float(jnp.max(jnp.abs(rec - w))) < float(jnp.max(ws)) * 0.51
+
+    def test_under_jit_with_static_scale(self):
+        x = jnp.ones((1, 8, 8, 4), jnp.bfloat16)
+        w = jnp.ones((1, 1, 4, 4), jnp.float32) * 0.5
+
+        @jax.jit
+        def f(x, w):
+            return quant.int8_conv(x, w, None, 1.0 / 127.0, padding=[(0, 0), (0, 0)])
+
+        y = f(x, w)
+        assert y.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(y, np.float32), 2.0, rtol=1e-2)
+
+
+@pytest.fixture(scope="module")
+def small_predictor_pair():
+    """fp and int8 Predictors sharing weights, at a CPU-friendly size."""
+    from octave_tpu.serve import Predictor
+
+    rng = np.random.default_rng(0)
+    calib = [rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32) for _ in range(2)]
+    # fold_bn=False keeps RAW variables (folded ones are only valid under
+    # the folded_inference trace context)
+    fp = Predictor.initialize(image_hw=(64, 64), dtype=jnp.float32, fold_bn=False)
+    q = Predictor(
+        fp.variables, dtype=jnp.float32, fold_bn=False,
+        int8_decoder=True, calibration_batches=calib,
+    )
+    return fp, q, calib
+
+
+class TestPredictorInt8:
+    def test_requires_calibration_batches(self):
+        from octave_tpu.serve import Predictor
+
+        with pytest.raises(ValueError, match="calibration_batches"):
+            Predictor.initialize(image_hw=(64, 64), int8_decoder=True)
+
+    def test_scales_cover_decoder_only(self, small_predictor_pair):
+        _, q, _ = small_predictor_pair
+        keys = list(q._quant_scales)
+        assert keys, "calibration produced no scales"
+        assert all(k.startswith(("decoder_", "upsampling_")) for k in keys)
+        # the split-kernel pair convs and the splat conv are all covered
+        assert any("conv1_a_absmax" in k for k in keys)
+        assert any("splat/conv" in k for k in keys)
+        assert all(s > 0 for s in q._quant_scales.values())
+
+    def test_output_close_to_fp(self, small_predictor_pair):
+        fp, q, calib = small_predictor_pair
+        x = calib[0]
+        y_fp = fp(x)
+        y_q = q(x)
+        assert y_q.shape == y_fp.shape
+        # softmax probabilities: quantization shifts them only slightly
+        mad = float(np.mean(np.abs(y_q - y_fp)))
+        assert mad < 0.05, mad
+        # the predicted masks agree almost everywhere
+        agree = float(np.mean((y_q.argmax(-1) == y_fp.argmax(-1))))
+        assert agree > 0.98, agree
+
+    def test_param_tree_unchanged(self, small_predictor_pair):
+        fp, q, _ = small_predictor_pair
+        flat_fp = jax.tree_util.tree_structure(fp.variables["params"])
+        flat_q = jax.tree_util.tree_structure(q.variables["params"])
+        assert flat_fp == flat_q
+
+    def test_int8_with_folded_bn(self):
+        """The production config: folded BN + bf16 + int8 decoder."""
+        from octave_tpu.serve import Predictor
+
+        rng = np.random.default_rng(3)
+        calib = [rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)]
+        base = Predictor.initialize(image_hw=(64, 64), dtype=jnp.float32,
+                                    fold_bn=False)
+        q = Predictor(
+            base.variables, dtype=jnp.float32, fold_bn=True,
+            int8_decoder=True, calibration_batches=calib,
+        )
+        y_fp = base(calib[0])
+        y_q = q(calib[0])
+        mad = float(np.mean(np.abs(y_q - y_fp)))
+        assert mad < 0.05, mad

@@ -34,6 +34,18 @@ def test_predictor_mesh(rng):
     np.testing.assert_allclose(out, single(x), atol=1e-5)
 
 
+def test_predict_many_matches_per_batch(rng):
+    """Scan-aggregated dispatch (one device call for k batches) == k sync
+    calls. This is the throughput-serving path on high-dispatch-latency
+    links (docs/architecture.md 'Serving through the relay')."""
+    pred = Predictor.initialize(image_hw=(32, 32), dtype=jnp.float32)
+    stack = rng.uniform(0, 1, (3, 2, 32, 32, 3)).astype(np.float32)
+    many = pred.predict_many(stack)
+    assert many.shape == (3, 2, 32, 32, 2)
+    for i in range(3):
+        np.testing.assert_allclose(many[i], pred(stack[i]), atol=1e-6)
+
+
 def test_predictor_uint8_wire(rng):
     """uint8 input == float input/255 (device-side normalization)."""
     pred = Predictor.initialize(image_hw=(32, 32), dtype=jnp.float32)
