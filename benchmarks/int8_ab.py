@@ -1,5 +1,5 @@
 """A/B on the attached TPU: bf16 vs int8-decoder serving throughput, and
-per-call vs scan-aggregated dispatch.
+per-call vs aggregated (multi-batch single-dispatch) serving.
 
 Measures the same honest way as bench.py (forced host transfer inside the
 timed region, median of steady-state calls). Writes results to stdout and
@@ -71,8 +71,13 @@ def main():
                 float(np.mean(y_q.argmax(-1) == y_ref.argmax(-1))), 5
             )
 
-        # scan-aggregated dispatch: k batches in ONE dispatch (predict_many)
-        x_k = np.broadcast_to(x[None], (k, *x.shape))
+        # aggregated dispatch: k batches in ONE dispatch (predict_many,
+        # unrolled + barrier-chained). Pre-upload the stack so the timed
+        # region is dispatch+compute, matching the per-call measurement
+        # (the relay uplink moves ~20 MB/s; 1 GB inside the timed region
+        # would swamp everything).
+        x_k = jnp.asarray(np.broadcast_to(x[None], (k, *x.shape)), p.dtype)
+        x_k.block_until_ready()
 
         def call_k():
             out = p.predict_many_device(x_k)
@@ -80,7 +85,7 @@ def main():
 
         call_k(); call_k()
         dt_k = timed(call_k, reps=3)
-        results[f"{label}_scan{k}_img_s"] = round(batch * k / dt_k, 2)
+        results[f"{label}_agg{k}_img_s"] = round(batch * k / dt_k, 2)
         del p
 
     print(json.dumps(results, indent=2))

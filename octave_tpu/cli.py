@@ -97,21 +97,6 @@ def cmd_predict(args) -> int:
     if not paths:
         raise SystemExit(f"no images found in {args.images}")
 
-    pred = Predictor.initialize(image_hw=size, num_classes=cfg.model.num_classes)
-    if args.checkpoint:
-        from octave_tpu.train.trainer import Trainer
-
-        trainer = Trainer(cfg)
-        state = trainer.init_state()
-        mgr = CheckpointManager(args.checkpoint)
-        restored = mgr.restore_latest(state)
-        if restored is None:
-            raise SystemExit(f"no checkpoint in {args.checkpoint}")
-        pred = Predictor(
-            {"params": restored.seg_params, "batch_stats": restored.batch_stats},
-            num_classes=cfg.model.num_classes,
-        )
-
     os.makedirs(args.out, exist_ok=True)
     bs = cfg.data.batch_size
 
@@ -121,6 +106,28 @@ def cmd_predict(args) -> int:
             imgs = load_image_batch(chunk, size)
             x = np.repeat((imgs.astype(np.float32) / 255.0)[..., None], 3, axis=-1)
             yield x
+
+    kw = {}
+    if getattr(args, "int8", False):
+        # PTQ the decoder; the first batch doubles as the calibration set
+        kw = dict(int8_decoder=True, calibration_batches=[next(batches())])
+
+    variables = None
+    if args.checkpoint:
+        from octave_tpu.train.trainer import Trainer
+
+        trainer = Trainer(cfg)
+        state = trainer.init_state()
+        mgr = CheckpointManager(args.checkpoint)
+        restored = mgr.restore_latest(state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint in {args.checkpoint}")
+        variables = {"params": restored.seg_params, "batch_stats": restored.batch_stats}
+
+    if variables is None:
+        pred = Predictor.initialize(image_hw=size, num_classes=cfg.model.num_classes, **kw)
+    else:
+        pred = Predictor(variables, num_classes=cfg.model.num_classes, **kw)
 
     i = 0
     for out in pred.predict_stream(batches()):
@@ -170,6 +177,9 @@ def main(argv=None) -> int:
     sp.add_argument("--out", required=True, help="output directory")
     sp.add_argument("--checkpoint", default=None)
     sp.add_argument("--config", default=None)
+    sp.add_argument("--int8", action="store_true",
+                    help="int8-quantize the decoder (PTQ, calibrates on the "
+                         "first batch; see octave_tpu/ops/quant.py)")
     sp.add_argument("overrides", nargs="*")
     sp.set_defaults(fn=cmd_predict)
 

@@ -36,11 +36,15 @@ class Predictor:
         mesh=None,
         int8_decoder: bool = False,
         calibration_batches=None,
+        int8_scope: str = "decoder",  # 'decoder' | 'all'
     ):
         """int8_decoder: PTQ the bandwidth-bound decoder stages to int8
         activations/weights (ops/quant.py). Requires `calibration_batches`
         (an iterable of input batches, uint8 or float [0,1]) to set the
-        static activation scales; 1-4 representative batches suffice."""
+        static activation scales; 1-4 representative batches suffice.
+        int8_scope='all' additionally quantizes the encoder convs — more
+        throughput, slightly larger accuracy shift; check with
+        benchmarks/int8_accuracy.py before serving."""
         self.model = ResnestUNet(
             num_classes=num_classes,
             use_pallas_aag=use_pallas_aag,
@@ -75,7 +79,7 @@ class Predictor:
                     "int8_decoder=True requires calibration_batches "
                     "(a few representative input batches)"
                 )
-            self._quant_scales = self._calibrate(calibration_batches)
+            self._quant_scales = self._calibrate(calibration_batches, int8_scope)
 
         def fwd(params, image):
             if jnp.issubdtype(image.dtype, jnp.integer):
@@ -121,7 +125,7 @@ class Predictor:
             st.enter_context(quant.quantized_inference(self._quant_scales))
         return st
 
-    def _calibrate(self, batches) -> dict:
+    def _calibrate(self, batches, scope: str = "decoder") -> dict:
         """Collect decoder activation scales (ops/quant.py) by running the
         calibration batches through the same (folded, bf16) eval graph."""
         from octave_tpu.ops import quant
@@ -145,7 +149,8 @@ class Predictor:
                 return None, {"quant_stats": step(vs, self._put(batch))}
 
         stats = quant.calibrate(apply_fn, self.variables, batches)
-        return quant.scales_from_stats(stats)
+        include = (lambda p: True) if scope == "all" else None
+        return quant.scales_from_stats(stats, include=include)
 
     @classmethod
     def initialize(cls, image_hw: Tuple[int, int] = (304, 304), seed: int = 0, **kw):
@@ -172,10 +177,20 @@ class Predictor:
 
     def predict_many(self, stack: np.ndarray) -> np.ndarray:
         """Aggregated dispatch: run a (k, b, h, w, 3) stack of batches in ONE
-        device dispatch via lax.scan. Amortizes per-dispatch host overhead
-        (~28 ms on the relay link) over k batches while HBM holds only one
-        batch's activations at a time — the throughput-serving counterpart of
-        predict_stream's latency pipelining."""
+        device dispatch. Amortizes per-dispatch host overhead (~28 ms on the
+        relay link) over k batches while HBM peaks near one batch's
+        activations (the k forwards are data-independent but XLA serializes
+        them, reusing buffers) — the throughput-serving counterpart of
+        predict_stream's latency pipelining.
+
+        The k forwards are UNROLLED in the traced graph, not lax.scan'd:
+        XLA pins conservative layouts inside loop bodies, measured 10x
+        slower for this conv-heavy body on v5e (benchmarks/int8_ab.json,
+        scan4 83 vs per-call 804 img/s). An optimization_barrier chains
+        forward i+1's input on forward i's output — without it the
+        latency-hiding scheduler interleaves the k forwards and HBM peaks
+        at kx one batch's activations (measured OOM at k=3, B=256).
+        Compile time grows with k — keep k small (2-6) and fixed."""
         return np.asarray(self.predict_many_device(stack))
 
     def predict_many_device(self, stack: np.ndarray) -> jax.Array:
@@ -184,9 +199,15 @@ class Predictor:
         if self._scan_jitted is None:
 
             def fwd_k(params, xs):
-                return jax.lax.scan(
-                    lambda _, xi: (None, self._raw_fwd(params, xi)), None, xs
-                )[1]
+                outs = []
+                for i in range(xs.shape[0]):
+                    xi = xs[i]
+                    if outs:
+                        # serialize: batch i+1 may not start before batch i
+                        # finishes, so activation buffers are reused
+                        xi, _ = jax.lax.optimization_barrier((xi, outs[-1]))
+                    outs.append(self._raw_fwd(params, xi))
+                return jnp.stack(outs)
 
             self._scan_jitted = jax.jit(fwd_k)
 
