@@ -45,9 +45,12 @@ def main():
 
     results = {"batch": batch, "scan_k": k}
 
+    scope = os.environ.get("AB_SCOPE", "decoder")
+    results["int8_scope"] = scope
     for label, kw in (
         ("bf16", dict(fold_bn=True)),
-        ("int8", dict(fold_bn=True, int8_decoder=True, calibration_batches=calib)),
+        ("int8", dict(fold_bn=True, int8_decoder=True, calibration_batches=calib,
+                      int8_scope=scope)),
     ):
         p = Predictor(raw_vars, **kw)
         xs = p._put(x)

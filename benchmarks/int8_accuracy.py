@@ -45,10 +45,12 @@ def main():
     gts = np.stack([ds[i].mask for i in range(len(ds))]).astype(bool)
 
     calib = [imgs[:16]]
-    results = {}
+    scope = os.environ.get("AB_SCOPE", "decoder")
+    results = {"int8_scope": scope}
     for label, kw in (
         ("bf16", dict()),
-        ("int8", dict(int8_decoder=True, calibration_batches=calib)),
+        ("int8", dict(int8_decoder=True, calibration_batches=calib,
+                      int8_scope=scope)),
     ):
         p = Predictor(variables, **kw)
         probs = np.concatenate([p(imgs[i : i + 16])[..., 1] for i in range(0, len(imgs), 16)])
