@@ -667,6 +667,10 @@ class Upsampling(nn.Module):
 
         kernel = self.param("kernel", kinit, (self.in_channels, self.out_channels, 2, 2))
         bias = self.param("bias", torch_conv_bias_init(fan_in), (self.out_channels,))
+        quant.record_absmax(self, x)
+        q_scale = quant.scale_for(self)
+        if q_scale is not None:
+            return quant.int8_conv_transpose_2x2(x, kernel, bias, q_scale)
         return conv_transpose_2x2(x, kernel, bias)
 
 

@@ -126,6 +126,28 @@ def int8_conv(
     return y.astype(x.dtype)
 
 
+def int8_conv_transpose_2x2(
+    x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array], x_scale: float
+) -> jax.Array:
+    """int8 version of ops.common.conv_transpose_2x2 (the Upsampling
+    lowering): one int8 MXU matmul with int32 accumulation, per-out-channel
+    weight scales, fused dequant + bias. `kernel` layout (C_in, C_out, 2, 2)
+    (torch ConvTranspose2d layout)."""
+    b, h, w, cin = x.shape
+    cout = kernel.shape[1]
+    sx = jnp.float32(max(float(x_scale), 1e-12))
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127.0, 127.0).astype(jnp.int8)
+    kf = kernel.astype(jnp.float32)
+    ws = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 2, 3)), 1e-12) / 127.0
+    wq = jnp.round(kf / ws[None, :, None, None]).astype(jnp.int8)
+    y = jnp.einsum("bhwc,coij->bhiwjo", xq, wq, preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (sx * ws)  # ws broadcasts over the o dim
+    y = y.reshape(b, 2 * h, 2 * w, cout)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def quantize_weight(kernel: jax.Array):
     """(wq int8, ws f32 per-out-channel) for an HWIO kernel — exposed for
     tests and offline weight packing."""
@@ -157,12 +179,19 @@ def scales_from_stats(
     include: Optional[Callable[[str], bool]] = None,
 ) -> Dict[str, float]:
     """Flatten a quant_stats collection into {path: activation_scale}.
-    `include` filters by path string (default: decoder subgraph of
-    ResnestUNet — the bandwidth-bound stages per the v5e profile)."""
+    `include` filters by path string (default: decoder blocks of
+    ResnestUNet — the bandwidth-bound stages per the v5e profile).
+
+    The default deliberately EXCLUDES the Upsampling einsums: quantizing
+    them was measured 9% slower end-to-end on v5e (int8 dot output layout
+    forces a transpose copy where the bf16 einsum's block-interleaved
+    reshape is a free view — benchmarks/int8_ab.json) and excludes the
+    encoder (int8 grouped SplAt convs lower below bf16 rate, scope=all
+    measured 3% slower than decoder-only)."""
     from flax.traverse_util import flatten_dict
 
     if include is None:
-        include = lambda p: p.startswith(("decoder_", "upsampling_"))
+        include = lambda p: p.startswith("decoder_")
     out = {}
     for path, v in flatten_dict(stats).items():
         key = "/".join(str(p) for p in path)

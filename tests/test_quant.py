@@ -42,6 +42,20 @@ class TestInt8Conv:
         rel = float(jnp.linalg.norm(yq - yf) / jnp.linalg.norm(yf))
         assert rel < 0.02, rel
 
+    def test_conv_transpose_2x2_matches_fp(self):
+        from octave_tpu.ops.common import conv_transpose_2x2
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 16)), jnp.float32)
+        k = jnp.asarray(rng.normal(0, 0.1, (16, 8, 2, 2)), jnp.float32)
+        b = jnp.asarray(rng.normal(0, 0.1, (8,)), jnp.float32)
+        sx = float(jnp.max(jnp.abs(x))) / 127.0
+        yq = quant.int8_conv_transpose_2x2(x, k, b, sx)
+        yf = conv_transpose_2x2(x, k, b)
+        assert yq.shape == yf.shape == (2, 16, 16, 8)
+        rel = float(jnp.linalg.norm(yq - yf) / jnp.linalg.norm(yf))
+        assert rel < 0.02, rel
+
     def test_weight_quantization_saturates_at_127(self):
         w = jnp.asarray(np.random.default_rng(2).normal(0, 1, (3, 3, 4, 8)), jnp.float32)
         wq, ws = quant.quantize_weight(w)
