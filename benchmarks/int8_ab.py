@@ -47,6 +47,11 @@ def main():
 
     scope = os.environ.get("AB_SCOPE", "decoder")
     results["int8_scope"] = scope
+    if os.environ.get("AB_CONVT"):
+        from octave_tpu.ops.common import set_conv_transpose_impl
+
+        set_conv_transpose_impl(os.environ["AB_CONVT"])
+        results["convt_impl"] = os.environ["AB_CONVT"]
     for label, kw in (
         ("bf16", dict(fold_bn=True)),
         ("int8", dict(fold_bn=True, int8_decoder=True, calibration_batches=calib,
