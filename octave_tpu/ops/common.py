@@ -268,13 +268,16 @@ def nearest_resize(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
 # ConvTranspose2d(kernel_size=2, stride=2) as a pure matmul (MXU-friendly)
 # ---------------------------------------------------------------------------
 
-_CONV_TRANSPOSE_IMPL = "einsum"  # 'einsum' | 'native'
+_CONV_TRANSPOSE_IMPL = "native"  # 'einsum' | 'native'
 
 
 def set_conv_transpose_impl(impl: str) -> None:
     """Select the ConvTranspose2d lowering ('einsum' MXU matmul vs XLA's
     'native' conv_transpose). Both are torch-exact; relative speed is
-    backend-dependent — see docs/architecture.md."""
+    backend-dependent — 'native' measured +5% bf16 / +10% int8 end-to-end
+    on v5e at B=256 (the einsum's block-interleaved output forces a 4.6 ms
+    layout copy at the 304² stage, benchmarks/profile_int8.txt) and is the
+    default since r2; see docs/architecture.md."""
     global _CONV_TRANSPOSE_IMPL
     assert impl in ("einsum", "native"), impl
     _CONV_TRANSPOSE_IMPL = impl

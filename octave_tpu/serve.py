@@ -149,7 +149,15 @@ class Predictor:
                 return None, {"quant_stats": step(vs, self._put(batch))}
 
         stats = quant.calibrate(apply_fn, self.variables, batches)
-        include = (lambda p: True) if scope == "all" else None
+        include = {
+            "all": lambda p: True,
+            # decoder + the encoder's DENSE convs (stem, bottleneck
+            # conv1/conv3/downsample); the grouped SplAt conv2 stays bf16
+            # (its int8 lowering measured below bf16 rate on v5e)
+            "dense": lambda p: p.startswith("decoder_")
+            or (p.startswith("backbone") and "/conv2/" not in p),
+            "decoder": None,
+        }[scope]
         return quant.scales_from_stats(stats, include=include)
 
     @classmethod
