@@ -1,0 +1,91 @@
+"""Adversarial-train-step batch scaling on the attached TPU (BASELINE
+configs #4/#5 throughput). Measures the full GAN step (both phases, two
+optimizers, donated state) at several batch sizes, with and without
+segmentor rematerialization. Appends JSON lines to
+benchmarks/train_scaling.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from octave_tpu.data.preprocess import mask_pyramid, mask_to_onehot, scribble_to_onehot
+    from octave_tpu.models.discriminator import DiscriminatorBlock
+    from octave_tpu.models.segmentor import ResnestUNet
+    from octave_tpu.train.schedule import make_optimizer
+    from octave_tpu.train.state import TrainState
+    from octave_tpu.train.steps import StepConfig, make_train_step
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (batch, hw, hw, 3)), jnp.bfloat16)
+    mask = jnp.asarray((rng.uniform(0, 1, (batch, hw, hw)) > 0.6).astype(np.int32))
+    scrib = jnp.asarray(
+        np.where(rng.uniform(0, 1, (batch, hw, hw)) < 0.3, np.asarray(mask) + 1, 0)
+    )
+    batch_d = {
+        "image": img,
+        "scribble_onehot": scribble_to_onehot(scrib, 2),
+        "mask_pyramid": mask_pyramid(mask_to_onehot(mask, 2), 4),
+    }
+
+    seg = ResnestUNet(num_classes=2)
+    disc = DiscriminatorBlock(input_hw=(hw, hw), depth=4)
+    key = jax.random.PRNGKey(0)
+    seg_vars = seg.init(key, batch_d["image"][:1].astype(jnp.float32), False)
+    disc_vars = disc.init(
+        {"params": key, "noise": key},
+        [p[:1].astype(jnp.float32) for p in batch_d["mask_pyramid"]], False,
+    )
+    state = TrainState.create(
+        seg_params=seg_vars["params"], disc_params=disc_vars["params"],
+        batch_stats=seg_vars["batch_stats"], spectral=disc_vars["spectral"],
+        seg_tx=make_optimizer(1e-3), disc_tx=make_optimizer(1e-4),
+        rng=jax.random.PRNGKey(3),
+    )
+    cfg = StepConfig(num_classes=2, use_discriminator=True, discriminator_depth=4,
+                     compute_dtype="bfloat16", remat=remat)
+    step = jax.jit(make_train_step(seg, disc, cfg), donate_argnums=(0,))
+
+    try:
+        state, losses = step(state, batch_d)  # compile
+        jax.block_until_ready(losses)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            state, losses = step(state, batch_d)
+            _ = float(losses["loss_seg_total"])  # forces completion
+            ts.append(time.perf_counter() - t0)
+        dt = statistics.median(ts)
+        return {"batch": batch, "remat": remat, "step_ms": round(dt * 1e3, 2),
+                "img_per_s": round(batch / dt, 2)}
+    except Exception as e:  # OOM etc. — record, don't crash the sweep
+        return {"batch": batch, "remat": remat, "error": type(e).__name__,
+                "detail": str(e)[:200]}
+
+
+def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    sweep = [(32, False), (48, False), (64, False), (64, True), (96, True)]
+    if os.environ.get("TS_SWEEP"):
+        sweep = [tuple(json.loads(s)) for s in os.environ["TS_SWEEP"].split(";")]
+    with open(os.path.join(here, "train_scaling.json"), "a") as f:
+        for batch, remat in sweep:
+            r = measure(batch, remat)
+            print(json.dumps(r))
+            f.write(json.dumps(r) + "\n")
+            f.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,21 @@ def test_predictor_mesh(rng):
     np.testing.assert_allclose(out, single(x), atol=1e-5)
 
 
+@pytest.mark.slow
+def test_predict_many_mesh(rng):
+    """Aggregated dispatch under a data mesh: each batch in the stack fans
+    out over the 8-device CPU mesh; results match the unmeshed path."""
+    from octave_tpu.parallel.mesh import make_mesh
+
+    pred = Predictor.initialize(image_hw=(32, 32), dtype=jnp.float32,
+                                mesh=make_mesh())
+    stack = rng.uniform(0, 1, (2, 8, 32, 32, 3)).astype(np.float32)
+    many = pred.predict_many(stack)
+    assert many.shape == (2, 8, 32, 32, 2)
+    single = Predictor.initialize(image_hw=(32, 32), dtype=jnp.float32)
+    np.testing.assert_allclose(many[0], single(stack[0]), atol=1e-5)
+
+
 def test_predict_many_matches_per_batch(rng):
     """Scan-aggregated dispatch (one device call for k batches) == k sync
     calls. This is the throughput-serving path on high-dispatch-latency
