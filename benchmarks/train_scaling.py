@@ -15,7 +15,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5):
+def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5,
+            use_disc: bool = True):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -53,8 +54,8 @@ def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5):
         seg_tx=make_optimizer(1e-3), disc_tx=make_optimizer(1e-4),
         rng=jax.random.PRNGKey(3),
     )
-    cfg = StepConfig(num_classes=2, use_discriminator=True, discriminator_depth=4,
-                     compute_dtype="bfloat16", remat=remat)
+    cfg = StepConfig(num_classes=2, use_discriminator=use_disc,
+                     discriminator_depth=4, compute_dtype="bfloat16", remat=remat)
     step = jax.jit(make_train_step(seg, disc, cfg), donate_argnums=(0,))
 
     try:
@@ -67,8 +68,8 @@ def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5):
             _ = float(losses["loss_seg_total"])  # forces completion
             ts.append(time.perf_counter() - t0)
         dt = statistics.median(ts)
-        return {"batch": batch, "remat": remat, "step_ms": round(dt * 1e3, 2),
-                "img_per_s": round(batch / dt, 2)}
+        return {"batch": batch, "remat": remat, "adversarial": use_disc,
+                "step_ms": round(dt * 1e3, 2), "img_per_s": round(batch / dt, 2)}
     except Exception as e:  # OOM etc. — record, don't crash the sweep
         return {"batch": batch, "remat": remat, "error": type(e).__name__,
                 "detail": str(e)[:200]}
@@ -80,8 +81,9 @@ def main():
     if os.environ.get("TS_SWEEP"):
         sweep = [tuple(json.loads(s)) for s in os.environ["TS_SWEEP"].split(";")]
     with open(os.path.join(here, "train_scaling.json"), "a") as f:
+        use_disc = not os.environ.get("TS_WEAK")
         for batch, remat in sweep:
-            r = measure(batch, remat)
+            r = measure(batch, remat, use_disc=use_disc)
             print(json.dumps(r))
             f.write(json.dumps(r) + "\n")
             f.flush()
