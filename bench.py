@@ -52,6 +52,10 @@ def main() -> None:
         image_hw=(hw, hw),
         int8_decoder=True,
         calibration_batches=[x[:64]],
+        # decoder splat grouped convs as block-diagonal dense (exact math):
+        # int8 grouped-conv lowering was the bottleneck; dense int8 maps
+        # cleanly onto the MXU (948 -> 1034 per-call, benchmarks/int8_ab.json)
+        dense_groups="decoder",
     )
 
     # --- per-call (latency-style) reference -------------------------------
@@ -82,8 +86,8 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "304x304 en-face inference images/sec/chip "
-                  "(ResnestUNet bf16 + int8 decoder, aggregated-dispatch "
-                  "serving path)",
+                  "(ResnestUNet bf16 + int8 dense-lowered decoder, "
+                  "aggregated-dispatch serving path)",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / PER_CHIP_BASELINE, 3),

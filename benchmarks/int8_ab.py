@@ -47,15 +47,18 @@ def main():
 
     scope = os.environ.get("AB_SCOPE", "decoder")
     results["int8_scope"] = scope
+    dense = os.environ.get("AB_DENSE") or None
+    if dense:
+        results["dense_groups"] = dense
     if os.environ.get("AB_CONVT"):
         from octave_tpu.ops.common import set_conv_transpose_impl
 
         set_conv_transpose_impl(os.environ["AB_CONVT"])
         results["convt_impl"] = os.environ["AB_CONVT"]
     for label, kw in (
-        ("bf16", dict(fold_bn=True)),
+        ("bf16", dict(fold_bn=True, dense_groups=dense)),
         ("int8", dict(fold_bn=True, int8_decoder=True, calibration_batches=calib,
-                      int8_scope=scope)),
+                      int8_scope=scope, dense_groups=dense)),
     ):
         p = Predictor(raw_vars, **kw)
         xs = p._put(x)

@@ -50,7 +50,8 @@ def main():
     for label, kw in (
         ("bf16", dict()),
         ("int8", dict(int8_decoder=True, calibration_batches=calib,
-                      int8_scope=scope)),
+                      int8_scope=scope,
+                      dense_groups=os.environ.get("AB_DENSE") or None)),
     ):
         p = Predictor(variables, **kw)
         probs = np.concatenate([p(imgs[i : i + 16])[..., 1] for i in range(0, len(imgs), 16)])

@@ -67,19 +67,32 @@ class _GroupsAsDense:
     efficiency; the dense form does groups× the FLOPs at dense efficiency and
     reads the same activations (these ops are bandwidth-dominated). Exact
     math: parameters stay in grouped shape, the block-diagonal expansion's
-    scatter transpose drops off-block gradients."""
+    scatter transpose drops off-block gradients.
+
+    `include` optionally scopes the lowering by module path (global dense
+    measured slower in r1 — the encoder's wide grouped convs pay real extra
+    FLOPs; the narrow decoder splat convs are the candidates)."""
 
     active = False
+    include = None
+
+    @classmethod
+    def should(cls, mod) -> bool:
+        if not cls.active:
+            return False
+        if cls.include is None:
+            return True
+        return cls.include("/".join(str(p) for p in mod.scope.path))
 
 
 @contextlib.contextmanager
-def groups_as_dense():
-    prev = _GroupsAsDense.active
-    _GroupsAsDense.active = True
+def groups_as_dense(include=None):
+    prev = (_GroupsAsDense.active, _GroupsAsDense.include)
+    _GroupsAsDense.active, _GroupsAsDense.include = True, include
     try:
         yield
     finally:
-        _GroupsAsDense.active = prev
+        _GroupsAsDense.active, _GroupsAsDense.include = prev
 
 
 class Conv(nn.Module):
@@ -114,13 +127,24 @@ class Conv(nn.Module):
                 (self.features,) if self.use_bias else None, binit, name="conv",
             )
             kernel, bias = leaf()
+            groups = self.groups
+            if groups > 1 and _GroupsAsDense.should(self):
+                # block-diagonal dense expansion composes with int8: the
+                # per-out-channel weight scales are unchanged (same absmax)
+                g, ci, co = groups, in_ch // groups, self.features // groups
+                dense = jnp.zeros((kh, kw, in_ch, self.features), kernel.dtype)
+                for gi in range(g):
+                    dense = dense.at[
+                        :, :, gi * ci : (gi + 1) * ci, gi * co : (gi + 1) * co
+                    ].set(kernel[:, :, :, gi * co : (gi + 1) * co])
+                kernel, groups = dense, 1
             return quant.int8_conv(
                 x, kernel, bias, q_scale,
                 strides=_pair(self.strides), padding=[(ph, ph), (pw, pw)],
-                dilation=_pair(self.dilation), groups=self.groups,
+                dilation=_pair(self.dilation), groups=groups,
             )
 
-        if self.groups > 1 and _GroupsAsDense.active:
+        if self.groups > 1 and _GroupsAsDense.should(self):
             g = self.groups
             ci = in_ch // g
             co = self.features // g

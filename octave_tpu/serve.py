@@ -37,6 +37,7 @@ class Predictor:
         int8_decoder: bool = False,
         calibration_batches=None,
         int8_scope: str = "decoder",  # 'decoder' | 'all'
+        dense_groups=None,  # None | 'decoder' | 'all': lower grouped convs dense
     ):
         """int8_decoder: PTQ the bandwidth-bound decoder stages to int8
         activations/weights (ops/quant.py). Requires `calibration_batches`
@@ -44,7 +45,9 @@ class Predictor:
         static activation scales; 1-4 representative batches suffice.
         int8_scope='all' additionally quantizes the encoder convs — more
         throughput, slightly larger accuracy shift; check with
-        benchmarks/int8_accuracy.py before serving."""
+        benchmarks/int8_accuracy.py before serving. dense_groups='decoder'
+        lowers the decoder splat grouped convs as block-diagonal dense
+        (exact math; see models/resnest.py::groups_as_dense)."""
         self.model = ResnestUNet(
             num_classes=num_classes,
             use_pallas_aag=use_pallas_aag,
@@ -53,6 +56,7 @@ class Predictor:
         self.method = method
         self.dtype = dtype
         self._fold_bn = fold_bn
+        self._dense_groups = dense_groups
         if fold_bn:
             from octave_tpu.ops.norm import fold_batch_stats
 
@@ -123,6 +127,12 @@ class Predictor:
             from octave_tpu.ops import quant
 
             st.enter_context(quant.quantized_inference(self._quant_scales))
+        if self._dense_groups is not None:
+            from octave_tpu.models.resnest import groups_as_dense
+
+            include = (None if self._dense_groups == "all"
+                       else lambda p: p.startswith("decoder_"))
+            st.enter_context(groups_as_dense(include))
         return st
 
     def _calibrate(self, batches, scope: str = "decoder") -> dict:
