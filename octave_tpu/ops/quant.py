@@ -133,6 +133,8 @@ def int8_conv_transpose_2x2(
     lowering): one int8 MXU matmul with int32 accumulation, per-out-channel
     weight scales, fused dequant + bias. `kernel` layout (C_in, C_out, 2, 2)
     (torch ConvTranspose2d layout)."""
+    from octave_tpu.ops import common
+
     b, h, w, cin = x.shape
     cout = kernel.shape[1]
     sx = jnp.float32(max(float(x_scale), 1e-12))
@@ -140,9 +142,20 @@ def int8_conv_transpose_2x2(
     kf = kernel.astype(jnp.float32)
     ws = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 2, 3)), 1e-12) / 127.0
     wq = jnp.round(kf / ws[None, :, None, None]).astype(jnp.int8)
-    y = jnp.einsum("bhwc,coij->bhiwjo", xq, wq, preferred_element_type=jnp.int32)
-    y = y.astype(jnp.float32) * (sx * ws)  # ws broadcasts over the o dim
-    y = y.reshape(b, 2 * h, 2 * w, cout)
+    if common._CONV_TRANSPOSE_IMPL == "native":
+        # same lowering as the bf16 path: spatially flipped HWIO kernel,
+        # strided output written directly (no interleave reshape)
+        wk = jnp.transpose(wq[:, :, ::-1, ::-1], (2, 3, 0, 1))
+        y = lax.conv_transpose(
+            xq, wk, (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (sx * ws)
+    else:
+        y = jnp.einsum("bhwc,coij->bhiwjo", xq, wq, preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (sx * ws)  # ws broadcasts over the o dim
+        y = y.reshape(b, 2 * h, 2 * w, cout)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(x.dtype)

@@ -166,6 +166,7 @@ class Predictor:
             # (its int8 lowering measured below bf16 rate on v5e)
             "dense": lambda p: p.startswith("decoder_")
             or (p.startswith("backbone") and "/conv2/" not in p),
+            "decoder+ups": lambda p: p.startswith(("decoder_", "upsampling_")),
             "decoder": None,
         }[scope]
         return quant.scales_from_stats(stats, include=include)
