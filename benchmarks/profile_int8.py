@@ -41,7 +41,8 @@ def main():
     rng = np.random.default_rng(0)
     x = rng.uniform(0, 1, (batch, hw, hw, 3)).astype(np.float32)
     pred = Predictor.initialize(
-        image_hw=(hw, hw), int8_decoder=True, calibration_batches=[x[:64]]
+        image_hw=(hw, hw), int8_decoder=True, calibration_batches=[x[:64]],
+        dense_groups=os.environ.get("PROF_DENSE") or None,
     )
     xs = pred._put(x)
     for _ in range(2):

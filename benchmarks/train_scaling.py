@@ -58,6 +58,12 @@ def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5,
                      discriminator_depth=4, compute_dtype="bfloat16", remat=remat)
     step = jax.jit(make_train_step(seg, disc, cfg), donate_argnums=(0,))
 
+    import contextlib
+    ctx = contextlib.ExitStack()
+    if os.environ.get("TS_DENSE"):
+        from octave_tpu.models.resnest import groups_as_dense
+
+        ctx.enter_context(groups_as_dense(lambda p: p.startswith("decoder_")))
     try:
         state, losses = step(state, batch_d)  # compile
         jax.block_until_ready(losses)
@@ -73,6 +79,8 @@ def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5,
     except Exception as e:  # OOM etc. — record, don't crash the sweep
         return {"batch": batch, "remat": remat, "error": type(e).__name__,
                 "detail": str(e)[:200]}
+    finally:
+        ctx.close()
 
 
 def main():
