@@ -11,8 +11,12 @@ benchmarks/int8_ab.json and docs/architecture.md "Round-2 measurements"):
     HLO, relay-friendly);
   * **int8 decoder** (ops/quant.py): PTQ'd on a calibration batch — the
     bandwidth-bound decoder stages run int8 activations/weights with int32
-    MXU accumulation (858 vs 801 img/s per-call at B=256; mask agreement
-    1.0, Dice delta vs bf16 measured in benchmarks/int8_accuracy.json);
+    MXU accumulation (trained-ckpt Dice delta −0.001,
+    benchmarks/int8_accuracy.json);
+  * **dense-lowered decoder splat convs** (models/resnest.py::
+    groups_as_dense, decoder scope): the int8 grouped-conv lowering was the
+    bottleneck; the block-diagonal dense int8 conv maps cleanly onto the
+    MXU (948 → 1034 img/s per-call). Exact math;
   * **aggregated dispatch** (serve.Predictor.predict_many): k=4 batches of
     256 run in ONE device dispatch, unrolled + optimization_barrier-chained
     (NOT lax.scan — loop bodies pin conservative layouts, measured 10x
@@ -21,14 +25,15 @@ benchmarks/int8_ab.json and docs/architecture.md "Round-2 measurements"):
   * the input stack is pre-uploaded and every timed call forces a host
     transfer of real output bytes (`block_until_ready` alone can lie on the
     relay backend); median of steady-state calls.
-B=256 amortizes fixed per-dispatch cost (B=128/256/384 → 745/800/816
-per-call bf16; B=512 OOMs the compile). Per-call bf16 is reported alongside
-as the latency-style reference.
+Fail-safe: if the int8/dense construction or the aggregated path fails on
+this host, the bench degrades to the bf16 per-call path and STILL emits its
+JSON line (the driver parses exactly one line).
 """
 from __future__ import annotations
 
 import json
 import statistics
+import sys
 import time
 
 
@@ -48,15 +53,19 @@ def main() -> None:
     rng = np.random.default_rng(0)
     x = rng.uniform(0, 1, (batch, hw, hw, 3)).astype(np.float32)
 
-    pred = Predictor.initialize(
-        image_hw=(hw, hw),
-        int8_decoder=True,
-        calibration_batches=[x[:64]],
-        # decoder splat grouped convs as block-diagonal dense (exact math):
-        # int8 grouped-conv lowering was the bottleneck; dense int8 maps
-        # cleanly onto the MXU (948 -> 1034 per-call, benchmarks/int8_ab.json)
-        dense_groups="decoder",
-    )
+    label = "bf16 + int8 dense-lowered decoder"
+    try:
+        pred = Predictor.initialize(
+            image_hw=(hw, hw),
+            int8_decoder=True,
+            calibration_batches=[x[:64]],
+            dense_groups="decoder",
+        )
+    except Exception as e:  # degrade gracefully — the bench must report
+        print(f"int8/dense path failed ({type(e).__name__}: {e}); "
+              "falling back to bf16", file=sys.stderr)
+        pred = Predictor.initialize(image_hw=(hw, hw))
+        label = "bf16 (int8 fallback)"
 
     # --- per-call (latency-style) reference -------------------------------
     xs = pred._put(x)
@@ -71,23 +80,28 @@ def main() -> None:
     assert np.all(np.isfinite(tap)) and abs(float(tap.sum()) - 1.0) < 1e-2, tap
 
     # --- aggregated dispatch (the throughput-serving path) ----------------
-    x_k = jnp.asarray(np.broadcast_to(x[None], (k, *x.shape)), pred.dtype)
-    x_k.block_until_ready()
+    try:
+        x_k = jnp.asarray(np.broadcast_to(x[None], (k, *x.shape)), pred.dtype)
+        x_k.block_until_ready()
 
-    def call_k() -> float:
-        t0 = time.perf_counter()
-        out = pred.predict_many_device(x_k)
-        np.asarray(out[0, 0, 0, 0, :])
-        return time.perf_counter() - t0
+        def call_k() -> float:
+            t0 = time.perf_counter()
+            out = pred.predict_many_device(x_k)
+            np.asarray(out[0, 0, 0, 0, :])
+            return time.perf_counter() - t0
 
-    call_k(); call_k()  # compile + warmup
-    dt = min(call_k() for _ in range(5))
-    ips = batch * k / dt
+        call_k(); call_k()  # compile + warmup
+        dt = min(call_k() for _ in range(5))
+        ips = batch * k / dt
+        label += ", aggregated-dispatch serving path"
+    except Exception as e:
+        print(f"aggregated dispatch failed ({type(e).__name__}: {e}); "
+              "reporting per-call", file=sys.stderr)
+        ips = batch / per_call
+        label += ", per-call path"
 
     print(json.dumps({
-        "metric": "304x304 en-face inference images/sec/chip "
-                  "(ResnestUNet bf16 + int8 dense-lowered decoder, "
-                  "aggregated-dispatch serving path)",
+        "metric": f"304x304 en-face inference images/sec/chip (ResnestUNet {label})",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / PER_CHIP_BASELINE, 3),
