@@ -131,6 +131,48 @@ class TestPredictorInt8:
         flat_q = jax.tree_util.tree_structure(q.variables["params"])
         assert flat_fp == flat_q
 
+    def test_dense_groups_exact_and_int8(self):
+        """The bench-default serving config: dense-lowered decoder splat
+        convs (exact math vs grouped) composed with int8."""
+        from octave_tpu.serve import Predictor
+
+        rng = np.random.default_rng(5)
+        calib = [rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)]
+        base = Predictor.initialize(image_hw=(64, 64), dtype=jnp.float32,
+                                    fold_bn=False)
+        y0 = base(calib[0])
+        # dense bf16 is EXACT vs grouped
+        d = Predictor(base.variables, dtype=jnp.float32, fold_bn=False,
+                      dense_groups="decoder")
+        np.testing.assert_allclose(d(calib[0]), y0, atol=1e-5)
+        # dense + int8 within quantization tolerance
+        q = Predictor(base.variables, dtype=jnp.float32, int8_decoder=True,
+                      calibration_batches=calib, dense_groups="decoder")
+        mad = float(np.mean(np.abs(q(calib[0]) - y0)))
+        assert mad < 0.05, mad
+
+    def test_int8_conv_transpose_native_and_einsum_lowerings(self):
+        from octave_tpu.ops import common
+        from octave_tpu.ops.common import conv_transpose_2x2
+
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.normal(0, 1, (1, 4, 4, 8)), jnp.float32)
+        k = jnp.asarray(rng.normal(0, 0.1, (8, 4, 2, 2)), jnp.float32)
+        sx = float(jnp.max(jnp.abs(x))) / 127.0
+        yf = conv_transpose_2x2(x, k, None)
+        prev = common._CONV_TRANSPOSE_IMPL
+        try:
+            outs = []
+            for impl in ("native", "einsum"):
+                common.set_conv_transpose_impl(impl)
+                outs.append(quant.int8_conv_transpose_2x2(x, k, None, sx))
+        finally:
+            common.set_conv_transpose_impl(prev)
+        # both lowerings agree with each other and with fp within tolerance
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
+        rel = float(jnp.linalg.norm(outs[0] - yf) / jnp.linalg.norm(yf))
+        assert rel < 0.02, rel
+
     def test_int8_with_folded_bn(self):
         """The production config: folded BN + bf16 + int8 decoder."""
         from octave_tpu.serve import Predictor
