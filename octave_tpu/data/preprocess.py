@@ -111,7 +111,11 @@ def mask_pyramid(
     return tuple(levels)
 
 
-@functools.partial(jax.jit, static_argnames=("size", "num_classes", "depth", "in_channels"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("size", "num_classes", "depth", "in_channels",
+                     "augment_intensity"),
+)
 def prepare_batch(
     image: jax.Array,
     scribble: jax.Array,
@@ -120,8 +124,14 @@ def prepare_batch(
     num_classes: int = 2,
     depth: int = 4,
     in_channels: int = 3,
+    augment_key: Optional[jax.Array] = None,
+    augment_intensity: float = 0.0,
 ):
     """One fused device-side transform: raw batch → model-ready tensors.
+
+    With `augment_key`, a random per-sample D4 dihedral transform (+optional
+    intensity jitter) is applied consistently to image/scribble/mask BEFORE
+    the pyramid is built (data/augment.py) — train-time only.
 
     Returns dict(image, scribble_onehot, mask_onehot, mask_pyramid).
     """
@@ -134,6 +144,11 @@ def prepare_batch(
         full_mask = nearest_resize(full_mask[..., None], size)[..., 0]
     scrib = scribble_to_onehot(scribble, num_classes)
     dense = mask_to_onehot(full_mask, num_classes)
+    if augment_key is not None:
+        from octave_tpu.data.augment import augment
+
+        img, scrib, dense = augment(augment_key, img, scrib, dense,
+                                    intensity=augment_intensity)
     pyr = mask_pyramid(dense, depth)
     return {
         "image": img,

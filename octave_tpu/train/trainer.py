@@ -185,6 +185,7 @@ class Trainer:
         self,
         host_batch: Dict[str, np.ndarray],
         sample_weight: Optional[np.ndarray] = None,
+        augment_key: Optional[jax.Array] = None,
     ) -> Dict[str, Any]:
         cfg = self.cfg
         batch = prepare_batch(
@@ -195,6 +196,8 @@ class Trainer:
             num_classes=cfg.model.num_classes,
             depth=max(cfg.model.discriminator_depth, 1),
             in_channels=cfg.data.in_channels,
+            augment_key=augment_key,
+            augment_intensity=cfg.data.augment_intensity,
         )
         if sample_weight is not None:
             batch["sample_weight"] = jnp.asarray(sample_weight, jnp.float32)
@@ -236,6 +239,10 @@ class Trainer:
 
         train_ds = build_dataset(cfg, "train")
         it = ds.batch_iterator(train_ds, cfg.data.batch_size, seed=cfg.train.seed)
+        # deterministic augmentation stream, resume-stable via the step count
+        self._aug_key = jax.random.fold_in(
+            jax.random.PRNGKey(cfg.train.seed + 7919), int(state.step)
+        )
         mlog = MetricsLogger(cfg.train.log_dir) if cfg.train.log_dir else None
         timer = StepTimer()
 
@@ -252,7 +259,10 @@ class Trainer:
                     log.warning("SIGTERM received — saving and stopping at step %d",
                                 int(state.step))
                     break
-                batch = self._device_batch(host_batch)
+                aug_key = None
+                if cfg.data.augment:
+                    self._aug_key, aug_key = jax.random.split(self._aug_key)
+                batch = self._device_batch(host_batch, augment_key=aug_key)
                 state, losses = self.train_step(state, batch)
                 timer.tick()
                 window.append(losses)

@@ -36,6 +36,10 @@ class DataConfig:
     batch_size: int = 8
     in_channels: int = 3
     synthetic_n: int = 64
+    # train-time device-side augmentation (data/augment.py): random D4
+    # dihedral per sample; intensity > 0 adds brightness/contrast jitter
+    augment: bool = False
+    augment_intensity: float = 0.0
 
 
 @dataclasses.dataclass
