@@ -102,6 +102,9 @@ class Sample:
     image: np.ndarray  # (h, w) uint8
     scribble: np.ndarray  # (h, w) uint8 label map (0=unlabeled, 1=bg, 2=vessel)
     mask: np.ndarray  # (h, w) uint8 dense label (0=bg, 1=vessel)
+    # optional second-head target for the dual-decoder (ParallelHead)
+    # variants: the ROSE thin/capillary-branch scribbles
+    scribble_c: Optional[np.ndarray] = None
 
 
 def _binarize(a: np.ndarray) -> np.ndarray:
@@ -137,10 +140,10 @@ def skeletonize_to_scribble(mask: np.ndarray, rng: np.random.Generator,
 
 
 class ImageFolderOcta:
-    """Generic {img, gt[, scribble]} folder dataset."""
+    """Generic {img, gt[, scribble[, scribble_c]]} folder dataset."""
 
     def __init__(self, img_dir: str, gt_dir: str, scribble_dir: Optional[str] = None,
-                 seed: int = 0):
+                 seed: int = 0, scribble_c_dir: Optional[str] = None):
         self.images = _list_images(img_dir)
         self.gts = _list_images(gt_dir)
         assert len(self.images) == len(self.gts) and self.images, (
@@ -148,10 +151,18 @@ class ImageFolderOcta:
             f"{gt_dir} ({len(self.gts)})"
         )
         self.scribbles = _list_images(scribble_dir) if scribble_dir else []
+        self.scribbles_c = _list_images(scribble_c_dir) if scribble_c_dir else []
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
         return len(self.images)
+
+    @staticmethod
+    def _to_scribble(path: str, mask: np.ndarray) -> np.ndarray:
+        s = _binarize(_load_image(path))
+        scrib = np.zeros_like(mask, dtype=np.uint8)
+        scrib[s.astype(bool)] = 2
+        return scrib
 
     def __getitem__(self, i: int) -> Sample:
         img = _load_image(self.images[i])
@@ -159,22 +170,39 @@ class ImageFolderOcta:
             img = img[..., 0]
         mask = _binarize(_load_image(self.gts[i]))
         if self.scribbles:
-            s = _binarize(_load_image(self.scribbles[i]))
-            scrib = np.zeros_like(mask, dtype=np.uint8)
-            scrib[s.astype(bool)] = 2
+            scrib = self._to_scribble(self.scribbles[i], mask)
         else:
             scrib = skeletonize_to_scribble(mask, self._rng)
-        return Sample(img.astype(np.uint8), scrib, mask)
+        scrib_c = (
+            self._to_scribble(self.scribbles_c[i], mask) if self.scribbles_c else None
+        )
+        return Sample(img.astype(np.uint8), scrib, mask, scribble_c=scrib_c)
 
 
-def rose(root: str, subset: str = "ROSE-1/SVC", split: str = "train") -> ImageFolderOcta:
-    """ROSE layout (reference README.md:45)."""
+def rose(root: str, subset: str = "ROSE-1/SVC", split: str = "train",
+         dual: bool = False) -> ImageFolderOcta:
+    """ROSE layout (reference README.md:45).
+
+    Default (single-head): the centerline (`thin_gt`) annotations are the
+    weak scribbles, matching the paper's weakly-supervised setup.
+    `dual=True` (the ParallelHead dual-decoder variants, reference
+    compose.py:233-527): head 0 — the deep decoder — targets the pixel-level
+    `thick_gt` annotation, head 1 — the shallow high-res branch — targets
+    the centerline `thin_gt` (the ROSE coarse-to-fine split)."""
     base = os.path.join(root, subset, split)
-    scrib = os.path.join(base, "thin_gt")
+    thin = os.path.join(base, "thin_gt")
+    thick = os.path.join(base, "thick_gt")
+    if dual:
+        return ImageFolderOcta(
+            os.path.join(base, "img"),
+            os.path.join(base, "gt"),
+            thick if os.path.isdir(thick) else None,
+            scribble_c_dir=thin if os.path.isdir(thin) else None,
+        )
     return ImageFolderOcta(
         os.path.join(base, "img"),
         os.path.join(base, "gt"),
-        scrib if os.path.isdir(scrib) else None,
+        thin if os.path.isdir(thin) else None,
     )
 
 
@@ -249,9 +277,12 @@ def batch_iterator(
         for s in range(0, stop, batch_size):
             idx = order[s : s + batch_size]
             samples = [dataset[int(i)] for i in idx]
-            yield {
+            batch = {
                 "image": np.stack([x.image for x in samples]),
                 "scribble": np.stack([x.scribble for x in samples]),
                 "mask": np.stack([x.mask for x in samples]),
             }
+            if all(x.scribble_c is not None for x in samples):
+                batch["scribble_c"] = np.stack([x.scribble_c for x in samples])
+            yield batch
         epoch += 1

@@ -126,6 +126,7 @@ def prepare_batch(
     in_channels: int = 3,
     augment_key: Optional[jax.Array] = None,
     augment_intensity: float = 0.0,
+    scribble_c: Optional[jax.Array] = None,
 ):
     """One fused device-side transform: raw batch → model-ready tensors.
 
@@ -133,7 +134,12 @@ def prepare_batch(
     intensity jitter) is applied consistently to image/scribble/mask BEFORE
     the pyramid is built (data/augment.py) — train-time only.
 
-    Returns dict(image, scribble_onehot, mask_onehot, mask_pyramid).
+    `scribble_c` is the optional second-head target (the ROSE dual-decoder
+    thin-branch scribbles); it rides the same resize/one-hot/augment chain
+    and comes back as "scribble_onehot_c".
+
+    Returns dict(image, scribble_onehot, mask_onehot, mask_pyramid
+    [, scribble_onehot_c]).
     """
     img = resize_or_pad(normalize_image(image), size)
     img = grayscale_to_channels(img, in_channels)
@@ -144,15 +150,27 @@ def prepare_batch(
         full_mask = nearest_resize(full_mask[..., None], size)[..., 0]
     scrib = scribble_to_onehot(scribble, num_classes)
     dense = mask_to_onehot(full_mask, num_classes)
+    scrib_c = None
+    if scribble_c is not None:
+        if scribble_c.shape[1:3] != size:
+            scribble_c = nearest_resize(scribble_c[..., None], size)[..., 0]
+        scrib_c = scribble_to_onehot(scribble_c, num_classes)
     if augment_key is not None:
         from octave_tpu.data.augment import augment
 
-        img, scrib, dense = augment(augment_key, img, scrib, dense,
-                                    intensity=augment_intensity)
+        extras = (scrib_c,) if scrib_c is not None else ()
+        out = augment(augment_key, img, scrib, dense,
+                      intensity=augment_intensity, extra_labels=extras)
+        img, scrib, dense = out[:3]
+        if scrib_c is not None:
+            scrib_c = out[3]
     pyr = mask_pyramid(dense, depth)
-    return {
+    batch = {
         "image": img,
         "scribble_onehot": scrib,
         "mask_onehot": dense,
         "mask_pyramid": pyr,
     }
+    if scrib_c is not None:
+        batch["scribble_onehot_c"] = scrib_c
+    return batch

@@ -86,25 +86,6 @@ def make_parallel_train_step(train_step, mesh: Mesh, axis: str = DATA_AXIS):
     return jax.jit(mapped, donate_argnums=(0,))
 
 
-def make_parallel_eval_step(eval_step, mesh: Mesh, axis: str = DATA_AXIS):
-    """shard_map an eval step: params replicated, batch sharded; the metric
-    accumulators come back per-shard sums (psum'd inside via axis when
-    needed) — predictions stay sharded on batch."""
-    def step(params, stats, batch):
-        pred, metrics = eval_step(params, stats, batch)
-        metrics = jax.tree.map(lambda m: jax.lax.pmean(m, axis), metrics)
-        return pred, metrics
-
-    mapped = jax.shard_map(
-        step,
-        mesh=mesh,
-        in_specs=(P(), P(), P(axis)),
-        out_specs=(P(axis), P()),
-        check_vma=False,
-    )
-    return jax.jit(mapped)
-
-
 def make_parallel_eval_accumulate_step(acc_step, mesh: Mesh, axis: str = DATA_AXIS):
     """shard_map the streaming-eval step: batch sharded, confusion counts and
     ROC histograms psum'd over the mesh so the harness gets exact DATASET-

@@ -42,6 +42,37 @@ from octave_tpu.models.segmentor import ResnestUNet
 from octave_tpu.train.state import TrainState
 
 
+def adapt_segmentor_output(out):
+    """Normalize any segmentor family forward output to
+    ``(pyramids, agg_maps)`` — tuples of attention pyramids (possibly empty)
+    and per-head agg maps.
+
+    Output shapes across the family (reference compose.py):
+      * ResnestUNet                      → (atts, agg, x4)
+      * ResnestUNet(encoder_gating=True) → (g_x, atts, agg, x4)  (4-tuple,
+        segmentor.py:269-270; the gating heads feed the classification path,
+        not the segmentation losses)
+      * ResnestUnetParallelHead          → stacked (2, b, h, w, c) agg maps
+      * ResnestUnetParallelHeadAttentionGate
+                                         → ((atts, atts_c), stacked)
+    """
+    if isinstance(out, jax.Array) or hasattr(out, "shape"):
+        # ParallelHead: stacked agg maps, no attention pyramid
+        return (), tuple(out[i] for i in range(out.shape[0]))
+    if len(out) == 2:
+        # ParallelHeadAttentionGate: dual pyramids + stacked agg maps
+        (atts, atts_c), stacked = out
+        return (tuple(atts), tuple(atts_c)), tuple(
+            stacked[i] for i in range(stacked.shape[0])
+        )
+    if len(out) == 4:
+        # encoder_gating: (g_x, attentions, agg_map, latent)
+        _, attentions, agg_map, _ = out
+        return (tuple(attentions),), (agg_map,)
+    attentions, agg_map, _ = out
+    return (tuple(attentions),), (agg_map,)
+
+
 @dataclasses.dataclass(frozen=True)
 class StepConfig:
     """Loss wiring (defaults follow the reference facade, octa.py:51-56)."""
@@ -56,8 +87,19 @@ class StepConfig:
     ild_impl: str = "pooled"  # 'pooled' (bandwidth-optimal, exact for integer scales) | 'resize'
     use_discriminator: bool = True
     discriminator_depth: int = 4
+    # depth of the second ("c" / thin-branch) discriminator for the
+    # ParallelHeadAttentionGate dual pyramid (its c pyramid has at most 2
+    # levels — gates at decoder depths 1 and 0, segmentor.py:480-483)
+    discriminator_depth_c: int = 1
     supervise_attention0: bool = False  # also apply the supervised loss to atts[0]
-    remat: bool = False  # rematerialize the segmentor forward (memory ↔ FLOPs)
+    # rematerialization of the segmentor forward (memory ↔ FLOPs):
+    #   False  — save everything XLA wants (fastest, most HBM)
+    #   True   — full remat: save only inputs, recompute the whole forward
+    #   'conv' — selective: save exactly the conv outputs (the
+    #            checkpoint_name anchors in models/resnest.py) and recompute
+    #            the cheap norm/activation/pool ops between them — near-zero
+    #            extra MXU work for most of full remat's memory win
+    remat: object = False
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16': MXU-native compute, fp32 master weights
     axis_name: Optional[str] = None
 
@@ -71,18 +113,48 @@ def _supervised(cfg: StepConfig, probs: jax.Array, target: jax.Array) -> jax.Arr
 
 
 def make_train_step(
-    segmentor: ResnestUNet,
-    discriminator: Optional[DiscriminatorBlock],
+    segmentor,
+    discriminator,
     cfg: StepConfig,
 ) -> Callable[[TrainState, Dict[str, Any]], Tuple[TrainState, Dict[str, jax.Array]]]:
-    """Build the fused GAN train step.
+    """Build the fused GAN train step for ANY segmentor-family model.
 
-    batch dict: image (b,h,w,3), scribble_onehot (b,h,w,c), mask_pyramid
-    (finest-first tuple, only when the discriminator is on).
+    `segmentor` may be any of the three reference segmentor classes (or an
+    equivalent module); its forward output is normalized by
+    `adapt_segmentor_output`, so `encoder_gating=True` and the dual-decoder
+    ParallelHead variants train through the same step.
+
+    `discriminator` is None, a single DiscriminatorBlock (judging the main
+    attention pyramid), or a dict like ``{"main": block, "c": block}`` for
+    the ParallelHeadAttentionGate dual pyramids — then `state.disc_params` /
+    `state.spectral` carry the same dict structure and one optimizer steps
+    the combined tree.
+
+    batch dict: image (b,h,w,3), scribble_onehot (b,h,w,c), optional
+    scribble_onehot_c (second-head target, defaults to scribble_onehot),
+    mask_pyramid (finest-first tuple, only when a discriminator is on).
     Wrap the result in jax.jit (single device) or shard_map (mesh) — see
     octave_tpu.parallel.
     """
-    use_d = cfg.use_discriminator and discriminator is not None
+    if isinstance(discriminator, dict):
+        disc_items = [(k, d) for k, d in discriminator.items() if d is not None]
+        multi_d = True
+    elif discriminator is not None:
+        disc_items = [("main", discriminator)]
+        multi_d = False
+    else:
+        disc_items, multi_d = [], False
+    # which pyramid / real-branch depth each discriminator judges
+    d_pyr_idx = {"main": 0, "c": 1}
+    d_depth = {"main": cfg.discriminator_depth, "c": cfg.discriminator_depth_c}
+
+    def _dget(tree, name):
+        return tree[name] if multi_d else tree
+
+    def _dset(tree, name, val):
+        return {**tree, name: val} if multi_d else val
+
+    use_d = cfg.use_discriminator and bool(disc_items)
     cdtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
 
     def _cast(tree):
@@ -114,56 +186,85 @@ def make_train_step(
                 mutable=["batch_stats"],
             )
 
-        if cfg.remat:
-            # trade FLOPs for HBM: activations recomputed in the backward
+        if cfg.remat == "conv":
+            # selective remat: keep conv outputs, recompute everything else
+            _seg_forward = jax.checkpoint(
+                _seg_forward,
+                policy=jax.checkpoint_policies.save_only_these_names("conv_out"),
+            )
+        elif cfg.remat:
+            # full remat: trade FLOPs for HBM — the whole forward is
+            # recomputed in the backward
             _seg_forward = jax.checkpoint(_seg_forward)
 
         def seg_loss_fn(seg_params):
             out, mut = _seg_forward(seg_params, batch["image"])
-            attentions, agg_map, _ = out
+            pyramids, agg_maps = adapt_segmentor_output(out)
             if cdtype is not None:
                 # mixed precision: losses in fp32
-                attentions = tuple(a.astype(jnp.float32) for a in attentions)
-                agg_map = agg_map.astype(jnp.float32)
-            probs = jax.nn.softmax(agg_map, axis=-1)
-            l_sup = _supervised(cfg, probs, batch["scribble_onehot"])
-            if cfg.supervise_attention0:
-                l_sup = l_sup + _supervised(cfg, attentions[0], batch["scribble_onehot"])
+                pyramids = tuple(
+                    tuple(a.astype(jnp.float32) for a in p) for p in pyramids
+                )
+                agg_maps = tuple(a.astype(jnp.float32) for a in agg_maps)
+            # per-head supervised loss: head 0 ← scribble_onehot, further
+            # heads ← scribble_onehot_c (the ROSE thin-branch target) when
+            # the batch carries one, else the same scribbles
+            target_c = batch.get("scribble_onehot_c", batch["scribble_onehot"])
+            l_sup = jnp.zeros((), jnp.float32)
+            for head, agg_map in enumerate(agg_maps):
+                probs = jax.nn.softmax(agg_map, axis=-1)
+                tgt = batch["scribble_onehot"] if head == 0 else target_c
+                l_sup = l_sup + _supervised(cfg, probs, tgt)
+            if cfg.supervise_attention0 and pyramids:
+                l_sup = l_sup + _supervised(
+                    cfg, pyramids[0][0], batch["scribble_onehot"]
+                )
             losses = {"loss_sup": l_sup}
             total = l_sup
-            if cfg.lambda_ild > 0 and len(attentions) > 1:
-                if cfg.ild_impl == "pooled" and cfg.ild_divergence == "KLD":
-                    l_ild = interlayer_divergence_pooled(
-                        attentions,
-                        weights=list(cfg.ild_weights) if cfg.ild_weights else None,
-                        stop_gradient=cfg.ild_stop_gradient,
+            if cfg.lambda_ild > 0 and any(len(p) > 1 for p in pyramids):
+                l_ild = sum(
+                    (
+                        interlayer_divergence_pooled(
+                            p,
+                            weights=list(cfg.ild_weights) if cfg.ild_weights else None,
+                            stop_gradient=cfg.ild_stop_gradient,
+                        )
+                        if cfg.ild_impl == "pooled" and cfg.ild_divergence == "KLD"
+                        else interlayer_divergence(
+                            p,
+                            weights=list(cfg.ild_weights) if cfg.ild_weights else None,
+                            stop_gradient=cfg.ild_stop_gradient,
+                            divergence=cfg.ild_divergence,
+                        )
                     )
-                else:
-                    l_ild = interlayer_divergence(
-                        attentions,
-                        weights=list(cfg.ild_weights) if cfg.ild_weights else None,
-                        stop_gradient=cfg.ild_stop_gradient,
-                        divergence=cfg.ild_divergence,
-                    )
+                    for p in pyramids
+                    if len(p) > 1
+                )
                 losses["loss_ild"] = l_ild
                 total = total + cfg.lambda_ild * l_ild
             if use_d:
                 # generator phase: D in train mode; its power-iteration state
                 # update is discarded here (the discriminator phase owns it)
-                y_fake, _ = discriminator.apply(
-                    {"params": _cast(state.disc_params), "spectral": state.spectral},
-                    list(attentions[: cfg.discriminator_depth + 1]),
-                    True,
-                    rngs={"noise": r_g},
-                    mutable=["spectral"],
-                )
-                l_adv = ls_generator_loss(y_fake)
+                l_adv = jnp.zeros((), jnp.float32)
+                for di, (name, d) in enumerate(disc_items):
+                    pyr = pyramids[d_pyr_idx[name]][: d_depth[name] + 1]
+                    y_fake, _ = d.apply(
+                        {
+                            "params": _cast(_dget(state.disc_params, name)),
+                            "spectral": _dget(state.spectral, name),
+                        },
+                        list(pyr),
+                        True,
+                        rngs={"noise": jax.random.fold_in(r_g, di)},
+                        mutable=["spectral"],
+                    )
+                    l_adv = l_adv + ls_generator_loss(y_fake)
                 losses["loss_adv"] = l_adv
                 total = total + cfg.lambda_adv * l_adv
             losses["loss_seg_total"] = total
-            return total, (mut["batch_stats"], attentions, losses)
+            return total, (mut["batch_stats"], pyramids, losses)
 
-        (seg_loss, (new_stats, attentions, losses)), seg_grads = jax.value_and_grad(
+        (seg_loss, (new_stats, pyramids, losses)), seg_grads = jax.value_and_grad(
             seg_loss_fn, has_aux=True
         )(state.seg_params)
 
@@ -180,28 +281,41 @@ def make_train_step(
         disc_opt_state = state.disc_opt_state
         spectral = state.spectral
         if use_d:
-            fake_pyramid = [
-                jax.lax.stop_gradient(a)
-                for a in attentions[: cfg.discriminator_depth + 1]
-            ]
+            fake_pyrs = {
+                name: [
+                    jax.lax.stop_gradient(a)
+                    for a in pyramids[d_pyr_idx[name]][: d_depth[name] + 1]
+                ]
+                for name, _ in disc_items
+            }
 
             def disc_loss_fn(d_params):
-                y_fake, mut1 = discriminator.apply(
-                    {"params": _cast(d_params), "spectral": state.spectral},
-                    fake_pyramid,
-                    True,
-                    rngs={"noise": r_fake},
-                    mutable=["spectral"],
-                )
-                y_real, mut2 = discriminator.apply(
-                    {"params": _cast(d_params), "spectral": mut1["spectral"]},
-                    list(batch["mask_pyramid"][: cfg.discriminator_depth + 1]),
-                    True,
-                    rngs={"noise": r_real},
-                    mutable=["spectral"],
-                )
-                l_d = ls_discriminator_loss(y_real, y_fake)
-                return l_d, mut2["spectral"]
+                l_d = jnp.zeros((), jnp.float32)
+                new_spec = state.spectral
+                for di, (name, d) in enumerate(disc_items):
+                    y_fake, mut1 = d.apply(
+                        {
+                            "params": _cast(_dget(d_params, name)),
+                            "spectral": _dget(new_spec, name),
+                        },
+                        fake_pyrs[name],
+                        True,
+                        rngs={"noise": jax.random.fold_in(r_fake, di)},
+                        mutable=["spectral"],
+                    )
+                    y_real, mut2 = d.apply(
+                        {
+                            "params": _cast(_dget(d_params, name)),
+                            "spectral": mut1["spectral"],
+                        },
+                        list(batch["mask_pyramid"][: d_depth[name] + 1]),
+                        True,
+                        rngs={"noise": jax.random.fold_in(r_real, di)},
+                        mutable=["spectral"],
+                    )
+                    l_d = l_d + ls_discriminator_loss(y_real, y_fake)
+                    new_spec = _dset(new_spec, name, mut2["spectral"])
+                return l_d, new_spec
 
             (d_loss, spectral), d_grads = jax.value_and_grad(
                 disc_loss_fn, has_aux=True
@@ -230,19 +344,24 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(segmentor: ResnestUNet, num_classes: int = 2):
+def _eval_forward(segmentor, seg_params, batch_stats, image):
+    """predict('softmax') semantics for any segmentor-family model; for the
+    dual-decoder variants, the MAIN head (index 0, the thick/full-vessel
+    branch) is the one scored against the dense GT."""
+    out = segmentor.apply(
+        {"params": seg_params, "batch_stats": batch_stats}, image, False
+    )
+    _, agg_maps = adapt_segmentor_output(out)
+    return jax.nn.softmax(agg_maps[0], axis=-1)
+
+
+def make_eval_step(segmentor, num_classes: int = 2):
     """Inference + metrics step (BASELINE.json configs #2-3): softmax
     prediction, vessel-channel probability vs dense GT."""
     from octave_tpu.utils.metrics import eval_step_metrics
 
     def eval_step(seg_params, batch_stats, batch):
-        attentions, pred = segmentor.apply(
-            {"params": seg_params, "batch_stats": batch_stats},
-            batch["image"],
-            "softmax",
-            False,
-            method=ResnestUNet.predict,
-        )
+        pred = _eval_forward(segmentor, seg_params, batch_stats, batch["image"])
         vessel_prob = pred[..., 1] if num_classes > 1 else pred[..., 0]
         target = batch["mask_onehot"][..., 1] if num_classes > 1 else batch["mask_onehot"][..., 0]
         metrics = eval_step_metrics(vessel_prob, target)
@@ -251,7 +370,7 @@ def make_eval_step(segmentor: ResnestUNet, num_classes: int = 2):
     return eval_step
 
 
-def make_eval_accumulate_step(segmentor: ResnestUNet, num_classes: int = 2,
+def make_eval_accumulate_step(segmentor, num_classes: int = 2,
                               threshold: float = 0.5):
     """Streaming eval: returns per-batch confusion counts + ROC histograms so
     the harness computes DATASET-level Dice/AUC (not a mean of per-batch
@@ -259,13 +378,7 @@ def make_eval_accumulate_step(segmentor: ResnestUNet, num_classes: int = 2,
     from octave_tpu.utils.metrics import AucAccumulator, ConfusionAccumulator
 
     def eval_step(seg_params, batch_stats, batch):
-        _, pred = segmentor.apply(
-            {"params": seg_params, "batch_stats": batch_stats},
-            batch["image"],
-            "softmax",
-            False,
-            method=ResnestUNet.predict,
-        )
+        pred = _eval_forward(segmentor, seg_params, batch_stats, batch["image"])
         vessel_prob = pred[..., 1] if num_classes > 1 else pred[..., 0]
         target = batch["mask_onehot"][..., 1] if num_classes > 1 else batch["mask_onehot"][..., 0]
         hard = (vessel_prob >= threshold).astype(jnp.float32)

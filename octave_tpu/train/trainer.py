@@ -16,10 +16,14 @@ import numpy as np
 from octave_tpu.data import datasets as ds
 from octave_tpu.data.preprocess import prepare_batch
 from octave_tpu.models.discriminator import DiscriminatorBlock
-from octave_tpu.models.segmentor import ResnestUNet
+from octave_tpu.models.segmentor import (
+    ResnestUNet,
+    ResnestUnetParallelHead,
+    ResnestUnetParallelHeadAttentionGate,
+)
 from octave_tpu.train.schedule import make_optimizer, polynomial_decay
 from octave_tpu.train.state import TrainState
-from octave_tpu.train.steps import StepConfig, make_eval_step, make_train_step
+from octave_tpu.train.steps import StepConfig, make_train_step
 from octave_tpu.utils.config import Config
 from octave_tpu.utils.logging import MetricsLogger
 from octave_tpu.utils.profiling import StepTimer
@@ -29,11 +33,13 @@ log = logging.getLogger("octave_tpu")
 
 def build_dataset(cfg: Config, split: str = "train"):
     d = cfg.data
+    # the dual-decoder variants take per-head targets (ROSE thick/thin)
+    dual = cfg.model.architecture in ("parallel_head", "parallel_head_gate")
     if d.dataset == "synthetic":
         return ds.SyntheticOcta(size=tuple(d.image_size), n=d.synthetic_n,
                                 seed=cfg.train.seed + (0 if split == "train" else 1))
     if d.dataset == "rose":
-        return ds.rose(d.root, d.subset, split)
+        return ds.rose(d.root, d.subset, split, dual=dual)
     if d.dataset == "octa500":
         return ds.octa500(d.root, d.subset, split)
     raise ValueError(f"unknown dataset: {d.dataset}")
@@ -50,23 +56,73 @@ class Trainer:
 
         m = cfg.model
         axis = "data" if cfg.train.data_parallel else None
-        self.segmentor = ResnestUNet(
-            num_classes=m.num_classes,
-            gating_level=m.segmentor_gating_level,
-            encoder_gating=m.encoder_gating,
-            bn_axis_name=axis,
-        )
-        self.discriminator = (
-            DiscriminatorBlock(
-                input_hw=tuple(cfg.data.image_size),
-                depth=m.discriminator_depth,
-                num_filters=m.num_filters,
-                instance_noise=m.instance_noise,
-                label_noise=m.label_noise,
+        gl = m.segmentor_gating_level
+
+        # --- segmentor family by config (every documented architecture
+        # trains through the same step; VERDICT r2 item 1) ---------------
+        if m.architecture == "unet":
+            self.segmentor = ResnestUNet(
+                num_classes=m.num_classes,
+                gating_level=gl,
+                encoder_gating=m.encoder_gating,
+                bn_axis_name=axis,
             )
-            if m.discriminator_depth > 0
-            else None
-        )
+            # pyramid: gates at decoder depths d with gl >= d, d in 4..0
+            pyr_levels = {"main": min(gl, 4) + 1}
+        elif m.architecture == "parallel_head":
+            self.segmentor = ResnestUnetParallelHead(
+                num_classes=m.num_classes, bn_axis_name=axis
+            )
+            pyr_levels = {}  # no attention pyramid → no adversarial branch
+        elif m.architecture == "parallel_head_gate":
+            self.segmentor = ResnestUnetParallelHeadAttentionGate(
+                num_classes=m.num_classes, gating_level=gl, bn_axis_name=axis
+            )
+            # depth-4 gate is strict `> 3` (segmentor.py:468); the c branch
+            # gates depths 1 and 0 only
+            pyr_levels = {
+                "main": (5 if gl > 3 else max(gl, 0) + 1),
+                "c": min(gl, 1) + 1,
+            }
+        else:
+            raise ValueError(
+                f"unknown model.architecture {m.architecture!r}; expected "
+                "'unet' | 'parallel_head' | 'parallel_head_gate'"
+            )
+
+        # --- discriminators: one per attention pyramid, depth clamped to
+        # the pyramid the model actually emits --------------------------
+        self._disc_depths = {}
+        discs = {}
+        if m.discriminator_depth > 0 and pyr_levels:
+            for name, levels in pyr_levels.items():
+                depth = min(m.discriminator_depth, levels - 1)
+                if depth < m.discriminator_depth:
+                    log.info(
+                        "discriminator[%s] depth clamped %d → %d (the %s "
+                        "pyramid has %d levels)",
+                        name, m.discriminator_depth, depth, name, levels,
+                    )
+                self._disc_depths[name] = depth
+                discs[name] = DiscriminatorBlock(
+                    input_hw=tuple(cfg.data.image_size),
+                    depth=depth,
+                    num_filters=m.num_filters,
+                    instance_noise=m.instance_noise,
+                    label_noise=m.label_noise,
+                )
+        elif m.discriminator_depth > 0:
+            log.info(
+                "architecture %r emits no attention pyramid — training "
+                "without the adversarial branch", m.architecture,
+            )
+        # single-pyramid models keep the flat (non-dict) state tree so r2
+        # checkpoints stay loadable
+        if set(discs) == {"main"}:
+            self.discriminator = discs["main"]
+        else:
+            self.discriminator = discs or None
+
         self.step_cfg = StepConfig(
             num_classes=m.num_classes,
             weakly_supervise=m.weakly_supervise,
@@ -76,7 +132,8 @@ class Trainer:
             ild_stop_gradient=cfg.loss.ild_stop_gradient,
             ild_divergence=cfg.loss.ild_divergence,
             use_discriminator=self.discriminator is not None,
-            discriminator_depth=m.discriminator_depth,
+            discriminator_depth=self._disc_depths.get("main", m.discriminator_depth),
+            discriminator_depth_c=self._disc_depths.get("c", 1),
             remat=cfg.train.remat,
             compute_dtype=cfg.train.compute_dtype,
             axis_name=axis,
@@ -101,15 +158,28 @@ class Trainer:
         disc_params = spectral = None
         disc_tx = None
         if self.discriminator is not None:
-            pyr = [
-                jnp.zeros((1, h // 2**i, w // 2**i, cfg.model.num_classes), jnp.float32)
-                for i in range(cfg.model.discriminator_depth + 1)
-            ]
-            disc_vars = self.discriminator.init(
-                {"params": k_disc, "noise": k_disc}, pyr, False
-            )
-            disc_params = disc_vars["params"]
-            spectral = disc_vars.get("spectral")
+            def init_disc(block, depth, key):
+                pyr = [
+                    jnp.zeros((1, h // 2**i, w // 2**i, cfg.model.num_classes),
+                              jnp.float32)
+                    for i in range(depth + 1)
+                ]
+                return block.init({"params": key, "noise": key}, pyr, False)
+
+            if isinstance(self.discriminator, dict):
+                disc_params, spectral = {}, {}
+                for di, (name, block) in enumerate(sorted(self.discriminator.items())):
+                    dv = init_disc(block, self._disc_depths[name],
+                                   jax.random.fold_in(k_disc, di))
+                    disc_params[name] = dv["params"]
+                    spectral[name] = dv.get("spectral")
+            else:
+                dv = init_disc(self.discriminator,
+                               self._disc_depths.get("main",
+                                                     cfg.model.discriminator_depth),
+                               k_disc)
+                disc_params = dv["params"]
+                spectral = dv.get("spectral")
             disc_tx = make_optimizer(
                 schedule=polynomial_decay(o.disc_lr, o.end_lr, o.decay_steps, o.power),
                 grad_clip=o.grad_clip,
@@ -158,26 +228,26 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _make_steps(self):
+        # ONE eval entry point: the exact dataset-level accumulate step
+        # (`evaluate` below). The per-batch-metric eval step and its pmean'd
+        # mesh wrapper were removed — averaging per-batch metrics is biased
+        # for unequal batch difficulty (VERDICT r2 item 9).
         from octave_tpu.train.steps import make_eval_accumulate_step
 
         step = make_train_step(self.segmentor, self.discriminator, self.step_cfg)
-        ev = make_eval_step(self.segmentor, self.cfg.model.num_classes)
         acc = make_eval_accumulate_step(self.segmentor, self.cfg.model.num_classes)
         if self.cfg.train.data_parallel:
             from octave_tpu.parallel.mesh import (
                 make_mesh,
                 make_parallel_eval_accumulate_step,
-                make_parallel_eval_step,
                 make_parallel_train_step,
             )
 
             self.mesh = make_mesh(self.cfg.train.n_devices)
             self.train_step = make_parallel_train_step(step, self.mesh)
-            self.eval_step = make_parallel_eval_step(ev, self.mesh)
             self._pacc_step = make_parallel_eval_accumulate_step(acc, self.mesh)
         else:
             self.train_step = jax.jit(step, donate_argnums=(0,))
-            self.eval_step = jax.jit(ev)
             self._pacc_step = None
         self._acc_step = jax.jit(acc)
 
@@ -188,6 +258,7 @@ class Trainer:
         augment_key: Optional[jax.Array] = None,
     ) -> Dict[str, Any]:
         cfg = self.cfg
+        scrib_c = host_batch.get("scribble_c")
         batch = prepare_batch(
             jnp.asarray(host_batch["image"]),
             jnp.asarray(host_batch["scribble"]),
@@ -198,6 +269,7 @@ class Trainer:
             in_channels=cfg.data.in_channels,
             augment_key=augment_key,
             augment_intensity=cfg.data.augment_intensity,
+            scribble_c=jnp.asarray(scrib_c) if scrib_c is not None else None,
         )
         if sample_weight is not None:
             batch["sample_weight"] = jnp.asarray(sample_weight, jnp.float32)
@@ -310,8 +382,11 @@ class Trainer:
 
         cfg = self.cfg
         eval_ds = build_dataset(cfg, "test")
-        conf = ConfusionAccumulator.empty()
-        auc = AucAccumulator.empty()
+        # host-side int64 accumulation: per-batch device counts are exact
+        # int32; summing batches in int64 keeps dataset-scale counts exact
+        # (float32 would round above 2^24 pixels — VERDICT r2 item 5)
+        conf = ConfusionAccumulator.empty_host()
+        auc = AucAccumulator.empty_host()
         n_shards = self.mesh.devices.size if self.mesh is not None else 1
         for host_batch in ds.batch_iterator(
             eval_ds, cfg.data.batch_size, shuffle=False, epochs=1, drop_last=False
@@ -330,8 +405,12 @@ class Trainer:
                 c, a = self._pacc_step(state.seg_params, state.batch_stats, batch)
             else:
                 _, c, a = self._acc_step(state.seg_params, state.batch_stats, batch)
-            conf = ConfusionAccumulator(*(x + y for x, y in zip(conf, c)))
-            auc = AucAccumulator(*(x + y for x, y in zip(auc, a)))
+            conf = ConfusionAccumulator(
+                *(x + y for x, y in zip(conf, ConfusionAccumulator(*c).astype64()))
+            )
+            auc = AucAccumulator(
+                *(x + y for x, y in zip(auc, AucAccumulator(*a).astype64()))
+            )
         agg = {
             "dice": float(conf.dice()),
             "iou": float(conf.iou()),

@@ -15,6 +15,10 @@ from typing import Any, Dict, Optional, Tuple
 class ModelConfig:
     """OctaScribbleNet constructor surface (reference octa.py:16-29)."""
 
+    # segmentor family: 'unet' (ResnestUNet, the OctaScribbleNet default) |
+    # 'parallel_head' (ResnestUnetParallelHead, dual thick/thin decoders) |
+    # 'parallel_head_gate' (ResnestUnetParallelHeadAttentionGate)
+    architecture: str = "unet"
     num_classes: int = 2
     num_filters: int = 64
     instance_noise: bool = True
@@ -75,7 +79,9 @@ class TrainConfig:
     profile_dir: Optional[str] = None
     log_dir: Optional[str] = None
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16'
-    remat: bool = False
+    # False | True (full) | 'conv' (selective: save conv outputs only) —
+    # see train/steps.py StepConfig.remat
+    remat: Any = False
     debug_nans: bool = False
 
 
@@ -150,7 +156,11 @@ class Config:
             elif old is not None and not isinstance(old, (list, tuple, dict)) and not isinstance(val, type(old)):
                 # coerce CLI strings to the field's type
                 if isinstance(old, bool):
-                    val = str(val).lower() in ("1", "true", "yes")
+                    sval = str(val).lower()
+                    if sval in ("1", "true", "yes", "0", "false", "no"):
+                        val = sval in ("1", "true", "yes")
+                    # else: bool-or-mode fields keep the string
+                    # (e.g. train.remat='conv' selective remat)
                 elif isinstance(old, int):
                     val = int(val)
                 elif isinstance(old, float):

@@ -12,10 +12,18 @@ from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class ConfusionAccumulator(NamedTuple):
-    """Streaming confusion counts for a binary (vessel) class."""
+    """Streaming confusion counts for a binary (vessel) class.
+
+    Counts are EXACT integers end-to-end (VERDICT r2 item 5): int32 on
+    device (exact per-batch/per-psum up to 2^31 — a 256x400² batch is 4e7
+    pixels), and the eval harness accumulates batches host-side in int64
+    (`astype64`), so dataset-scale counts never round (float32 integer
+    exactness stops at 2^24 ≈ 16.7M — an OCTA-500-scale test set exceeds it).
+    """
 
     tp: jax.Array
     fp: jax.Array
@@ -24,19 +32,32 @@ class ConfusionAccumulator(NamedTuple):
 
     @classmethod
     def empty(cls) -> "ConfusionAccumulator":
-        z = jnp.zeros((), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        z = jnp.zeros((), jnp.int32)
         return cls(z, z, z, z)
+
+    @classmethod
+    def empty_host(cls) -> "ConfusionAccumulator":
+        """int64 numpy accumulator for host-side dataset aggregation."""
+        z = np.int64(0)
+        return cls(z, z, z, z)
+
+    def astype64(self) -> "ConfusionAccumulator":
+        """Device counts → host int64 (for exact cross-batch accumulation)."""
+        return ConfusionAccumulator(
+            *(np.asarray(x).astype(np.int64) for x in self)
+        )
 
     def update(
         self, pred: jax.Array, target: jax.Array, weight: jax.Array = None
     ) -> "ConfusionAccumulator":
         """pred/target (b, ...) binary maps; optional per-sample weight (b,)
-        — a 0 weight drops the sample entirely (used for mesh tail-batch
-        padding, where shards must stay equal-sized)."""
-        pred = pred.astype(jnp.float32)
-        target = target.astype(jnp.float32)
+        with values in {0, 1} — a 0 weight drops the sample entirely (used
+        for mesh tail-batch padding, where shards must stay equal-sized).
+        Fractional weights are not supported (counts are exact integers)."""
+        pred = pred.astype(jnp.int32)
+        target = target.astype(jnp.int32)
         if weight is not None:
-            w = weight.astype(jnp.float32).reshape(
+            w = jnp.round(weight).astype(jnp.int32).reshape(
                 (pred.shape[0],) + (1,) * (pred.ndim - 1)
             )
             return ConfusionAccumulator(
@@ -80,48 +101,62 @@ def dice_score(pred: jax.Array, target: jax.Array, eps: float = 1e-12) -> jax.Ar
 class AucAccumulator(NamedTuple):
     """Binned-ROC AUC: histogram positive/negative scores into fixed bins on
     device; the final AUC is a trapezoid over the binned ROC. With 4096 bins
-    the quantization error is ≪ 1e-3 for ≤400² maps."""
+    the quantization error is ≪ 1e-3 for ≤400² maps.
+
+    Bin counts are exact int32 on device / int64 host-side (`astype64`) —
+    same rationale as ConfusionAccumulator: a dataset's background pixels
+    alone exceed float32's 2^24 integer range."""
 
     pos_hist: jax.Array  # (bins,)
     neg_hist: jax.Array
 
     @classmethod
     def empty(cls, bins: int = 4096) -> "AucAccumulator":
-        return cls(jnp.zeros((bins,), jnp.float32), jnp.zeros((bins,), jnp.float32))
+        return cls(jnp.zeros((bins,), jnp.int32), jnp.zeros((bins,), jnp.int32))
+
+    @classmethod
+    def empty_host(cls, bins: int = 4096) -> "AucAccumulator":
+        return cls(np.zeros((bins,), np.int64), np.zeros((bins,), np.int64))
+
+    def astype64(self) -> "AucAccumulator":
+        return AucAccumulator(*(np.asarray(x).astype(np.int64) for x in self))
 
     def update(
         self, scores: jax.Array, target: jax.Array, weight: jax.Array = None
     ) -> "AucAccumulator":
         bins = self.pos_hist.shape[0]
         s = jnp.clip(scores.reshape(-1), 0.0, 1.0)
-        t = target.reshape(-1).astype(jnp.float32)
+        t = target.reshape(-1).astype(jnp.int32)
         if weight is None:
             w = jnp.ones_like(t)
         else:
-            wb = weight.astype(jnp.float32).reshape(
+            wb = jnp.round(weight).astype(jnp.int32).reshape(
                 (scores.shape[0],) + (1,) * (scores.ndim - 1)
             )
             w = jnp.broadcast_to(wb, scores.shape).reshape(-1)
         idx = jnp.clip((s * bins).astype(jnp.int32), 0, bins - 1)
-        pos = jnp.zeros((bins,), jnp.float32).at[idx].add(w * t)
-        neg = jnp.zeros((bins,), jnp.float32).at[idx].add(w * (1 - t))
+        pos = jnp.zeros((bins,), jnp.int32).at[idx].add(w * t)
+        neg = jnp.zeros((bins,), jnp.int32).at[idx].add(w * (1 - t))
         return AucAccumulator(self.pos_hist + pos, self.neg_hist + neg)
 
-    def auc(self, eps: float = 1e-12) -> jax.Array:
+    def auc(self, eps: float = 1e-12):
         """Equivalent to the rank statistic on binned scores with tie
-        correction (each bin contributes tp-trapezoid area)."""
-        # descending-threshold cumulative counts
-        pos = self.pos_hist[::-1]
-        neg = self.neg_hist[::-1]
-        cpos = jnp.cumsum(pos)
-        cneg = jnp.cumsum(neg)
+        correction (each bin contributes tp-trapezoid area). Works on both
+        device (jax int32) and host (numpy int64) accumulators — numpy
+        arrays stay in numpy (jnp would silently downcast int64 → int32)."""
+        xp = np if isinstance(self.pos_hist, np.ndarray) else jnp
+        ftype = np.float64 if xp is np else jnp.float32
+        # descending-threshold cumulative counts, EXACT in the int dtype
+        # (float cumsum would round above 2^24); ratios in float after
+        cpos = xp.cumsum(self.pos_hist[::-1]).astype(ftype)
+        cneg = xp.cumsum(self.neg_hist[::-1]).astype(ftype)
         p_tot = cpos[-1]
         n_tot = cneg[-1]
         tpr = cpos / (p_tot + eps)
         fpr = cneg / (n_tot + eps)
-        tpr = jnp.concatenate([jnp.zeros((1,)), tpr])
-        fpr = jnp.concatenate([jnp.zeros((1,)), fpr])
-        return jnp.sum((fpr[1:] - fpr[:-1]) * 0.5 * (tpr[1:] + tpr[:-1]))
+        tpr = xp.concatenate([xp.zeros((1,), ftype), tpr])
+        fpr = xp.concatenate([xp.zeros((1,), ftype), fpr])
+        return xp.sum((fpr[1:] - fpr[:-1]) * 0.5 * (tpr[1:] + tpr[:-1]))
 
 
 def auc_exact(scores, target) -> float:

@@ -4,6 +4,7 @@ the Trainer wiring. The reference augments off-tree (kornia pinned at
 requirements.txt:16); this is the framework-supplied TPU-native equivalent.
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -107,3 +108,48 @@ def test_trainer_augment_smoke():
     trainer = Trainer(cfg)
     state = trainer.fit()
     assert int(state.step) == 2
+
+
+def test_non_square_rot90_raises():
+    """Non-square inputs raise instead of silently dropping the rotation
+    bit (VERDICT r2 item 10)."""
+    import jax
+
+    from octave_tpu.data.augment import random_dihedral
+
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 8, 12, 1))
+    with pytest.raises(ValueError, match="square"):
+        random_dihedral(key, x)
+
+
+def test_dual_head_scribble_c_rides_the_same_transform():
+    """scribble_onehot_c gets the SAME per-sample dihedral transform as the
+    image/main targets (prepare_batch extra_labels path)."""
+    import jax
+    import numpy as np
+
+    from octave_tpu.data.preprocess import prepare_batch
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (4, 16, 16)).astype(np.float32)
+    scrib = rng.integers(0, 3, (4, 16, 16)).astype(np.uint8)
+    mask = rng.integers(0, 2, (4, 16, 16)).astype(np.uint8)
+    batch = prepare_batch(
+        jnp.asarray(img), jnp.asarray(scrib), jnp.asarray(mask),
+        size=(16, 16), depth=2,
+        augment_key=jax.random.PRNGKey(5),
+        scribble_c=jnp.asarray(scrib),  # same source as the main scribble
+    )
+    # identical sources + identical transform => identical one-hots
+    np.testing.assert_array_equal(
+        np.asarray(batch["scribble_onehot"]), np.asarray(batch["scribble_onehot_c"])
+    )
+    # and it differs from the un-augmented encoding for at least one sample
+    plain = prepare_batch(
+        jnp.asarray(img), jnp.asarray(scrib), jnp.asarray(mask),
+        size=(16, 16), depth=2,
+    )
+    assert not np.array_equal(
+        np.asarray(batch["scribble_onehot"]), np.asarray(plain["scribble_onehot"])
+    )
