@@ -33,17 +33,37 @@ serve.py's wire formats).
 from __future__ import annotations
 
 import contextlib
-from typing import Callable, Dict, Iterable, Optional
+from typing import Callable, Dict, Iterable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
+
+
+class PackedScale(NamedTuple):
+    """A pre-packed quantization entry (offline weight quantization): the
+    static activation scale plus the per-out-channel weight scales of the
+    already-int8 kernel sitting in the params tree. Produced by
+    `prepack_weights`; consumed transparently by `int8_conv` /
+    `int8_conv_transpose_2x2` (they skip the per-call weight-quantize pass
+    when the kernel argument is already int8)."""
+
+    x_scale: float
+    w_scale: np.ndarray  # (C_out,)
 
 
 class _Quant:
     """Trace-time switches. ``calibrating`` makes wrapped convs record input
     absmax into the mutable ``quant_stats`` collection; ``scales`` (a
-    path->scale dict) makes convs whose path is present run int8."""
+    path->scale dict) makes convs whose path is present run int8.
+
+    Like the repo's other trace-time switches (``folded_inference``,
+    ``groups_as_dense``) this is process-global: Predictors are NOT
+    thread-safe during first-call TRACING (two differently configured
+    predictors tracing concurrently could capture each other's contexts,
+    ADVICE r2). Cached executions are unaffected — trace each predictor
+    once (its constructor or first call) before sharing across threads."""
 
     calibrating = False
     scales: Optional[Dict[str, float]] = None
@@ -103,13 +123,26 @@ def int8_conv(
     groups: int = 1,
 ) -> jax.Array:
     """Symmetric int8 conv: per-tensor activation scale (static), per-output-
-    channel weight scales (from the live kernel), int32 MXU accumulation,
-    fused dequant + bias. NHWC/HWIO. Returns x.dtype."""
+    channel weight scales (from the live kernel, or pre-packed offline when
+    `x_scale` is a PackedScale and `kernel` is already int8), int32 MXU
+    accumulation, fused dequant + bias. NHWC/HWIO. Returns x.dtype."""
+    packed_ws = None
+    if isinstance(x_scale, PackedScale):
+        packed_ws = x_scale.w_scale
+        x_scale = x_scale.x_scale
     sx = jnp.float32(max(float(x_scale), 1e-12))
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127.0, 127.0).astype(jnp.int8)
-    kf = kernel.astype(jnp.float32)
-    ws = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0
-    wq = jnp.round(kf / ws).astype(jnp.int8)  # |w|/ws <= 127 by construction
+    if kernel.dtype == jnp.int8:
+        # offline-packed weights: no per-call quantize pass
+        wq = kernel
+        ws = jnp.asarray(packed_ws, jnp.float32)
+    else:
+        kf = kernel.astype(jnp.float32)
+        ws = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0
+        # explicit reciprocal-multiply (not division): XLA rewrites broadcast
+        # division this way anyway, and spelling it out keeps the offline
+        # prepack_weights path BIT-identical to this per-call path
+        wq = jnp.round(kf * (1.0 / ws)).astype(jnp.int8)  # |w|/ws <= 127
     y = lax.conv_general_dilated(
         xq,
         wq,
@@ -137,11 +170,19 @@ def int8_conv_transpose_2x2(
 
     b, h, w, cin = x.shape
     cout = kernel.shape[1]
+    packed_ws = None
+    if isinstance(x_scale, PackedScale):
+        packed_ws = x_scale.w_scale
+        x_scale = x_scale.x_scale
     sx = jnp.float32(max(float(x_scale), 1e-12))
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127.0, 127.0).astype(jnp.int8)
-    kf = kernel.astype(jnp.float32)
-    ws = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 2, 3)), 1e-12) / 127.0
-    wq = jnp.round(kf / ws[None, :, None, None]).astype(jnp.int8)
+    if kernel.dtype == jnp.int8:
+        wq = kernel
+        ws = jnp.asarray(packed_ws, jnp.float32)
+    else:
+        kf = kernel.astype(jnp.float32)
+        ws = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 2, 3)), 1e-12) / 127.0
+        wq = jnp.round(kf * (1.0 / ws)[None, :, None, None]).astype(jnp.int8)
     if common._CONV_TRANSPOSE_IMPL == "native":
         # same lowering as the bf16 path: spatially flipped HWIO kernel,
         # strided output written directly (no interleave reshape)
@@ -166,7 +207,71 @@ def quantize_weight(kernel: jax.Array):
     tests and offline weight packing."""
     kf = kernel.astype(jnp.float32)
     ws = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0
-    return jnp.round(kf / ws).astype(jnp.int8), ws
+    return jnp.round(kf * (1.0 / ws)).astype(jnp.int8), ws
+
+
+def prepack_weights(variables: dict, scales: Dict[str, float]):
+    """Offline int8 weight packing (VERDICT r2 item 3 / ROADMAP r3): for
+    every conv selected by `scales`, quantize its kernel ONCE here and store
+    the int8 kernel in the params tree + the per-out-channel weight scales
+    in a PackedScale entry — deleting the per-call weight-quantize pass from
+    the serving graph (ops/quant.py:110-112 in r2 re-quantized the live
+    kernel on every call).
+
+    Returns (variables', scales'). The packed int8 kernels are BIT-identical
+    to what the per-call path quantizes (same jax expression on the same
+    folded bf16 kernels); end-to-end bf16 outputs agree to bf16 rounding
+    (constant-folding the dequant multiplies reorders bf16 math) with
+    identical masks — tests/test_quant.py::TestPrepack.
+
+    Scale-key → kernel-path mapping (see the recording call sites):
+      <conv module>/in_absmax          → <conv module>/conv/kernel  (HWIO)
+      <upsampling module>/in_absmax    → <module>/kernel  ((I,O,2,2) layout)
+      <decoder>/<name>_{a,b}_absmax    → <decoder>/<name>/conv/kernel
+                                         (split-kernel pair: one shared
+                                         kernel, per-out-channel scales are
+                                         slice-invariant)
+    """
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = dict(flatten_dict(variables["params"], sep="/"))
+    new_scales: Dict[str, object] = {}
+    packed: Dict[str, np.ndarray] = {}  # kernel path -> ws
+    for key, val in scales.items():
+        if isinstance(val, PackedScale):
+            new_scales[key] = val
+            continue
+        mod, leaf = key.rsplit("/", 1)
+        if leaf == "in_absmax":
+            cands = [(f"{mod}/conv/kernel", (0, 1, 2)), (f"{mod}/kernel", (0, 2, 3))]
+        elif leaf.endswith(("_a_absmax", "_b_absmax")):
+            name = leaf[: -len("_a_absmax")]
+            cands = [(f"{mod}/{name}/conv/kernel", (0, 1, 2))]
+        else:
+            cands = []
+        hit = next(((p, ax) for p, ax in cands if p in flat), None)
+        if hit is None:
+            new_scales[key] = val  # no kernel found — keep per-call behavior
+            continue
+        path, axes = hit
+        if path not in packed:
+            # quantize with the SAME jax expression the per-call path
+            # traces (quantize_weight), so wq/ws are bit-identical to what
+            # the r2 serving graph computed every call
+            kernel = flat[path]
+            if axes == (0, 2, 3):  # conv-transpose (I, O, kh, kw) layout
+                wq, ws = jax.jit(
+                    lambda k: quantize_weight(jnp.transpose(k, (2, 3, 0, 1)))
+                )(kernel)
+                wq = jnp.transpose(wq, (2, 3, 0, 1))
+            else:
+                wq, ws = jax.jit(quantize_weight)(kernel)
+            flat[path] = np.asarray(wq)
+            packed[path] = np.asarray(ws)
+        new_scales[key] = PackedScale(float(val), packed[path])
+    out = dict(variables)
+    out["params"] = unflatten_dict(flat, sep="/")
+    return out, new_scales
 
 
 def calibrate(apply_fn: Callable, variables, batches: Iterable) -> dict:

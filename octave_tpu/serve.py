@@ -36,8 +36,9 @@ class Predictor:
         mesh=None,
         int8_decoder: bool = False,
         calibration_batches=None,
-        int8_scope: str = "decoder",  # 'decoder' | 'all'
+        int8_scope: str = "decoder",  # 'decoder' | 'decoder+ups' | 'dense' | 'all'
         dense_groups=None,  # None | 'decoder' | 'all': lower grouped convs dense
+        int8_prepack: bool = True,  # offline weight quantization (exact)
     ):
         """int8_decoder: PTQ the bandwidth-bound decoder stages to int8
         activations/weights (ops/quant.py). Requires `calibration_batches`
@@ -84,6 +85,22 @@ class Predictor:
                     "(a few representative input batches)"
                 )
             self._quant_scales = self._calibrate(calibration_batches, int8_scope)
+            if int8_prepack:
+                # offline weight quantization: int8 kernels live in the
+                # params tree, deleting the per-call weight-quantize pass
+                # (bit-identical outputs — ops/quant.py::prepack_weights)
+                from octave_tpu.ops.quant import prepack_weights
+
+                self.variables, self._quant_scales = prepack_weights(
+                    self.variables, self._quant_scales
+                )
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    self.variables = jax.tree.map(
+                        lambda x: jax.device_put(x, NamedSharding(mesh, P())),
+                        self.variables,
+                    )
 
         def fwd(params, image):
             if jnp.issubdtype(image.dtype, jnp.integer):
@@ -159,7 +176,7 @@ class Predictor:
                 return None, {"quant_stats": step(vs, self._put(batch))}
 
         stats = quant.calibrate(apply_fn, self.variables, batches)
-        include = {
+        includes = {
             "all": lambda p: True,
             # decoder + the encoder's DENSE convs (stem, bottleneck
             # conv1/conv3/downsample); the grouped SplAt conv2 stays bf16
@@ -168,8 +185,13 @@ class Predictor:
             or (p.startswith("backbone") and "/conv2/" not in p),
             "decoder+ups": lambda p: p.startswith(("decoder_", "upsampling_")),
             "decoder": None,
-        }[scope]
-        return quant.scales_from_stats(stats, include=include)
+        }
+        if scope not in includes:
+            raise ValueError(
+                f"unknown int8_scope {scope!r}; expected one of "
+                f"{sorted(includes)}"
+            )
+        return quant.scales_from_stats(stats, include=includes[scope])
 
     @classmethod
     def initialize(cls, image_hw: Tuple[int, int] = (304, 304), seed: int = 0, **kw):

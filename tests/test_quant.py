@@ -110,7 +110,11 @@ class TestPredictorInt8:
         # the split-kernel pair convs and the splat conv are all covered
         assert any("conv1_a_absmax" in k for k in keys)
         assert any("splat/conv" in k for k in keys)
-        assert all(s > 0 for s in q._quant_scales.values())
+        # entries are PackedScale after offline weight packing (the default)
+        assert all(
+            (s.x_scale if isinstance(s, quant.PackedScale) else s) > 0
+            for s in q._quant_scales.values()
+        )
 
     def test_output_close_to_fp(self, small_predictor_pair):
         fp, q, calib = small_predictor_pair
@@ -189,3 +193,63 @@ class TestPredictorInt8:
         y_q = q(calib[0])
         mad = float(np.mean(np.abs(y_q - y_fp)))
         assert mad < 0.05, mad
+
+
+class TestPrepack:
+    def test_prepack_matches_per_call_op_level(self):
+        """int8_conv with an offline-packed kernel is BIT-identical to the
+        per-call weight-quantize path."""
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(0, 1, (2, 12, 12, 16)), jnp.float32)
+        w = jnp.asarray(rng.normal(0, 0.1, (3, 3, 16, 24)), jnp.float32)
+        b = jnp.asarray(rng.normal(0, 0.1, (24,)), jnp.float32)
+        sx = float(jnp.max(jnp.abs(x))) / 127.0
+        y_percall = quant.int8_conv(x, w, b, sx, padding=[(1, 1), (1, 1)])
+        kf = np.asarray(w, np.float32)
+        ws = np.maximum(np.max(np.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0
+        wq = jnp.asarray(np.round(kf / ws).astype(np.int8))
+        y_packed = quant.int8_conv(
+            x, wq, b, quant.PackedScale(sx, ws), padding=[(1, 1), (1, 1)]
+        )
+        np.testing.assert_array_equal(np.asarray(y_percall), np.asarray(y_packed))
+
+    @pytest.mark.slow
+    def test_prepack_predictor_equivalent(self):
+        """End-to-end: Predictor(int8_prepack=True) vs the per-call int8
+        Predictor on the same weights (VERDICT r2 item 3: offline packing
+        must be a pure graph simplification). The packed int8 KERNELS are
+        bit-identical to what the per-call path quantizes (verified below
+        via quantize_weight); the bf16 outputs agree to bf16 rounding —
+        constant-folding the dequant multiplies reorders bf16 math, so
+        exact-bit output equality across the two graphs is not a meaningful
+        target. Masks must be identical."""
+        from octave_tpu.serve import Predictor
+
+        rng = np.random.default_rng(7)
+        x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+        base = Predictor.initialize(image_hw=(64, 64))
+        kw = dict(
+            num_classes=2, int8_decoder=True, calibration_batches=[x],
+            dense_groups="decoder",
+        )
+        percall = Predictor(base.variables, int8_prepack=False, fold_bn=False, **kw)
+        packed = Predictor(base.variables, int8_prepack=True, fold_bn=False, **kw)
+        # every scale entry got packed, and kernels really are int8
+        from flax.traverse_util import flatten_dict
+
+        assert all(isinstance(v, quant.PackedScale)
+                   for v in packed._quant_scales.values())
+        flat_packed = flatten_dict(packed.variables["params"], sep="/")
+        flat_percall = flatten_dict(percall.variables["params"], sep="/")
+        n_int8 = 0
+        for p, v in flat_packed.items():
+            if v.dtype == np.int8:
+                n_int8 += 1
+                # bit-identical to the per-call quantization of this kernel
+                wq_ref, _ = quant.quantize_weight(flat_percall[p])
+                np.testing.assert_array_equal(np.asarray(wq_ref), np.asarray(v), err_msg=p)
+        assert n_int8 >= 10, n_int8
+        y1, y2 = percall(x), packed(x)
+        # probabilities within bf16 rounding; hard masks identical
+        np.testing.assert_allclose(y1, y2, atol=2e-3)
+        np.testing.assert_array_equal(y1.argmax(-1), y2.argmax(-1))
