@@ -65,6 +65,19 @@ def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5,
 
         ctx.enter_context(groups_as_dense(lambda p: p.startswith("decoder_")))
     try:
+        if os.environ.get("TS_MEM"):
+            # HBM budget diagnosis (VERDICT r2 item 2): compile only and
+            # report the executable's memory analysis — no execution
+            ca = step.lower(state, batch_d).compile().memory_analysis()
+            mem = {
+                k: int(getattr(ca, k))
+                for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+                          "output_size_in_bytes", "alias_size_in_bytes",
+                          "generated_code_size_in_bytes")
+                if hasattr(ca, k) and getattr(ca, k) is not None
+            }
+            return {"batch": batch, "remat": remat, "adversarial": use_disc,
+                    "memory_analysis": mem}
         state, losses = step(state, batch_d)  # compile
         jax.block_until_ready(losses)
         ts = []
