@@ -27,6 +27,7 @@ from typing import Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from flax import linen as nn
 
 from octave_tpu.ops.common import (
@@ -168,7 +169,7 @@ class Conv(nn.Module):
                 y = y + bias
             return y
 
-        return nn.Conv(
+        y = nn.Conv(
             features=self.features,
             kernel_size=(kh, kw),
             strides=_pair(self.strides),
@@ -180,6 +181,10 @@ class Conv(nn.Module):
             bias_init=binit,
             name="conv",
         )(x)
+        # selective-remat anchor: with StepConfig.remat='conv' the train
+        # step saves exactly these conv outputs and recomputes the cheap
+        # norm/activation ops between them in the backward (steps.py)
+        return checkpoint_name(y, "conv_out")
 
 
 class _ConvParams(nn.Module):
@@ -628,9 +633,10 @@ class ResNestDecoder(nn.Module):
                     window_strides=(1, 1), padding=[(pad, pad), (pad, pad)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
-                return (
+                return checkpoint_name(
                     jax.lax.conv_general_dilated(a, kernel[:, :, :ca, :], **args)
-                    + jax.lax.conv_general_dilated(b, kernel[:, :, ca:, :], **args)
+                    + jax.lax.conv_general_dilated(b, kernel[:, :, ca:, :], **args),
+                    "conv_out",
                 )
 
             out = split_conv(self.out_channels, 3, 1, "conv1")
@@ -695,7 +701,9 @@ class Upsampling(nn.Module):
         q_scale = quant.scale_for(self)
         if q_scale is not None:
             return quant.int8_conv_transpose_2x2(x, kernel, bias, q_scale)
-        return conv_transpose_2x2(x, kernel, bias)
+        return checkpoint_name(
+            conv_transpose_2x2(x, kernel, bias), "conv_out"
+        )
 
 
 class BuildResNet(nn.Module):
