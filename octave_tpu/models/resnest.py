@@ -453,9 +453,21 @@ class ResNeSt(nn.Module):
 
     config: ResNeStConfig = ResNeStConfig()
     bn_axis_name: Optional[str] = None
+    # Block-granular rematerialization (StepConfig.remat='block'): each
+    # Bottleneck is its own jax.checkpoint region, so the backward holds only
+    # inter-block residuals (a few MB/level) plus ONE block's internals at a
+    # time. A single checkpoint region over the whole forward (remat=True)
+    # recomputes everything at the start of the backward and holds it all —
+    # measured: it saves just 0.78 GB of 15.26 GB at B=64/304²
+    # (benchmarks/train_scaling.json memory_analysis rows).
+    remat_blocks: bool = False
 
     def setup(self):
         cfg = self.config
+        blk_cls = (
+            nn.remat(Bottleneck, static_argnums=(2,))
+            if self.remat_blocks else Bottleneck
+        )
         kinit = resnet_conv_init()
         self.inplanes0 = cfg.stem_width * 2 if cfg.deep_stem else 64
         if cfg.deep_stem:
@@ -490,7 +502,7 @@ class ResNeSt(nn.Module):
                 if bi == 0:
                     has_down = stride != 1 or inplanes != planes * 4
                     blocks_l.append(
-                        Bottleneck(
+                        blk_cls(
                             inplanes=inplanes, planes=planes, strides=stride,
                             has_downsample=has_down, radix=cfg.radix,
                             cardinality=cfg.groups, bottleneck_width=cfg.bottleneck_width,
@@ -503,7 +515,7 @@ class ResNeSt(nn.Module):
                     inplanes = planes * 4
                 else:
                     blocks_l.append(
-                        Bottleneck(
+                        blk_cls(
                             inplanes=inplanes, planes=planes, strides=1,
                             has_downsample=False, radix=cfg.radix,
                             cardinality=cfg.groups, bottleneck_width=cfg.bottleneck_width,

@@ -162,10 +162,19 @@ class ResnestUNet(nn.Module):
     # + ReLUs + AAG) as one fused Pallas pass (ops/pallas/decoder_epilogue).
     # Parameter tree is identical, so checkpoints/converters are oblivious.
     use_fused_decoder: bool = False
+    # block-granular remat (StepConfig.remat='block'): every backbone
+    # Bottleneck and every decoder stage is its own checkpoint region; the
+    # parameter tree is unchanged (nn.remat is a lifted transform)
+    remat_blocks: bool = False
 
     def setup(self):
         ax = self.bn_axis_name
-        self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax, name="backbone")
+        self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax,
+                                remat_blocks=self.remat_blocks, name="backbone")
+        dec_cls = (
+            nn.remat(ResNestDecoder, static_argnums=(2,))
+            if self.remat_blocks else ResNestDecoder
+        )
 
         if self.encoder_gating:
             self.encoder_0_gate = _EncoderGate(name="encoder_0_gate")
@@ -175,23 +184,23 @@ class ResnestUNet(nn.Module):
             self.encoder_4_gate = _EncoderGate(name="encoder_4_gate")
 
         self.upsampling_0 = Upsampling(64, 64, name="upsampling_0")
-        self.decoder_0 = ResNestDecoder(64, 32, bn_axis_name=ax, name="decoder_0")
+        self.decoder_0 = dec_cls(64, 32, bn_axis_name=ax, name="decoder_0")
         self.aag_0 = AdversarialAttentionGate(32, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_0")
 
         self.upsampling_1 = Upsampling(256, 64, name="upsampling_1")
-        self.decoder_1 = ResNestDecoder(128, 64, bn_axis_name=ax, name="decoder_1")
+        self.decoder_1 = dec_cls(128, 64, bn_axis_name=ax, name="decoder_1")
         self.aag_1 = AdversarialAttentionGate(64, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_1")
 
         self.upsampling_2 = Upsampling(512, 256, name="upsampling_2")
-        self.decoder_2 = ResNestDecoder(512, 256, bn_axis_name=ax, name="decoder_2")
+        self.decoder_2 = dec_cls(512, 256, bn_axis_name=ax, name="decoder_2")
         self.aag_2 = AdversarialAttentionGate(256, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_2")
 
         self.upsampling_3 = Upsampling(1024, 512, name="upsampling_3")
-        self.decoder_3 = ResNestDecoder(1024, 512, bn_axis_name=ax, name="decoder_3")
+        self.decoder_3 = dec_cls(1024, 512, bn_axis_name=ax, name="decoder_3")
         self.aag_3 = AdversarialAttentionGate(512, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_3")
 
         self.upsampling_4 = Upsampling(2048, 1024, name="upsampling_4")
-        self.decoder_4 = ResNestDecoder(2048, 1024, bn_axis_name=ax, name="decoder_4")
+        self.decoder_4 = dec_cls(2048, 1024, bn_axis_name=ax, name="decoder_4")
         self.aag_4 = AdversarialAttentionGate(1024, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_4")
 
         self.fc = Conv(self.num_classes, 1, 1, 0, name="fc")
@@ -332,25 +341,31 @@ class ResnestUnetParallelHead(nn.Module):
 
     num_classes: int
     bn_axis_name: Optional[str] = None
+    remat_blocks: bool = False  # see ResnestUNet.remat_blocks
 
     def setup(self):
         ax = self.bn_axis_name
-        self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax, name="backbone")
+        self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax,
+                                remat_blocks=self.remat_blocks, name="backbone")
+        dec_cls = (
+            nn.remat(ResNestDecoder, static_argnums=(2,))
+            if self.remat_blocks else ResNestDecoder
+        )
         self.upsampling_0 = Upsampling(64, 64, name="upsampling_0")
-        self.decoder_0 = ResNestDecoder(64, 32, bn_axis_name=ax, name="decoder_0")
+        self.decoder_0 = dec_cls(64, 32, bn_axis_name=ax, name="decoder_0")
         self.upsampling_1 = Upsampling(256, 64, name="upsampling_1")
-        self.decoder_1 = ResNestDecoder(128, 64, bn_axis_name=ax, name="decoder_1")
+        self.decoder_1 = dec_cls(128, 64, bn_axis_name=ax, name="decoder_1")
         self.upsampling_2 = Upsampling(512, 256, name="upsampling_2")
-        self.decoder_2 = ResNestDecoder(512, 256, bn_axis_name=ax, name="decoder_2")
+        self.decoder_2 = dec_cls(512, 256, bn_axis_name=ax, name="decoder_2")
         self.upsampling_3 = Upsampling(1024, 512, name="upsampling_3")
-        self.decoder_3 = ResNestDecoder(1024, 512, bn_axis_name=ax, name="decoder_3")
+        self.decoder_3 = dec_cls(1024, 512, bn_axis_name=ax, name="decoder_3")
         self.upsampling_4 = Upsampling(2048, 1024, name="upsampling_4")
-        self.decoder_4 = ResNestDecoder(2048, 1024, bn_axis_name=ax, name="decoder_4")
+        self.decoder_4 = dec_cls(2048, 1024, bn_axis_name=ax, name="decoder_4")
         # Parallel branch from x_1 (compose.py:279-285)
         self.upsampling_1_c = Upsampling(256, 64, name="upsampling_1_c")
-        self.decoder_1_c = ResNestDecoder(128, 64, bn_axis_name=ax, name="decoder_1_c")
+        self.decoder_1_c = dec_cls(128, 64, bn_axis_name=ax, name="decoder_1_c")
         self.upsampling_0_c = Upsampling(64, 64, name="upsampling_0_c")
-        self.decoder_0_c = ResNestDecoder(64, 32, bn_axis_name=ax, name="decoder_0_c")
+        self.decoder_0_c = dec_cls(64, 32, bn_axis_name=ax, name="decoder_0_c")
         self.fc = Conv(self.num_classes, 1, 1, 0, name="fc")
         self.fc_c = Conv(self.num_classes, 1, 1, 0, name="fc_c")
 
@@ -409,30 +424,36 @@ class ResnestUnetParallelHeadAttentionGate(nn.Module):
     bn_axis_name: Optional[str] = None
     use_pallas_aag: bool = False
     use_fused_decoder: bool = False  # eval-only fused decoder tail + AAG
+    remat_blocks: bool = False  # see ResnestUNet.remat_blocks
 
     def setup(self):
         ax = self.bn_axis_name
-        self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax, name="backbone")
+        self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax,
+                                remat_blocks=self.remat_blocks, name="backbone")
+        dec_cls = (
+            nn.remat(ResNestDecoder, static_argnums=(2,))
+            if self.remat_blocks else ResNestDecoder
+        )
         self.upsampling_0 = Upsampling(64, 64, name="upsampling_0")
-        self.decoder_0 = ResNestDecoder(64, 32, bn_axis_name=ax, name="decoder_0")
+        self.decoder_0 = dec_cls(64, 32, bn_axis_name=ax, name="decoder_0")
         self.aag_0 = AdversarialAttentionGate(32, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_0")
         self.upsampling_1 = Upsampling(256, 64, name="upsampling_1")
-        self.decoder_1 = ResNestDecoder(128, 64, bn_axis_name=ax, name="decoder_1")
+        self.decoder_1 = dec_cls(128, 64, bn_axis_name=ax, name="decoder_1")
         self.aag_1 = AdversarialAttentionGate(64, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_1")
         self.upsampling_2 = Upsampling(512, 256, name="upsampling_2")
-        self.decoder_2 = ResNestDecoder(512, 256, bn_axis_name=ax, name="decoder_2")
+        self.decoder_2 = dec_cls(512, 256, bn_axis_name=ax, name="decoder_2")
         self.aag_2 = AdversarialAttentionGate(256, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_2")
         self.upsampling_3 = Upsampling(1024, 512, name="upsampling_3")
-        self.decoder_3 = ResNestDecoder(1024, 512, bn_axis_name=ax, name="decoder_3")
+        self.decoder_3 = dec_cls(1024, 512, bn_axis_name=ax, name="decoder_3")
         self.aag_3 = AdversarialAttentionGate(512, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_3")
         self.upsampling_4 = Upsampling(2048, 1024, name="upsampling_4")
-        self.decoder_4 = ResNestDecoder(2048, 1024, bn_axis_name=ax, name="decoder_4")
+        self.decoder_4 = dec_cls(2048, 1024, bn_axis_name=ax, name="decoder_4")
         self.aag_4 = AdversarialAttentionGate(1024, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_4")
         self.upsampling_1_c = Upsampling(256, 64, name="upsampling_1_c")
-        self.decoder_1_c = ResNestDecoder(128, 64, bn_axis_name=ax, name="decoder_1_c")
+        self.decoder_1_c = dec_cls(128, 64, bn_axis_name=ax, name="decoder_1_c")
         self.aag_1_c = AdversarialAttentionGate(64, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_1_c")
         self.upsampling_0_c = Upsampling(64, 64, name="upsampling_0_c")
-        self.decoder_0_c = ResNestDecoder(64, 32, bn_axis_name=ax, name="decoder_0_c")
+        self.decoder_0_c = dec_cls(64, 32, bn_axis_name=ax, name="decoder_0_c")
         self.aag_0_c = AdversarialAttentionGate(32, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_0_c")
         self.fc = Conv(self.num_classes, 1, 1, 0, name="fc")
         self.fc_c = Conv(self.num_classes, 1, 1, 0, name="fc_c")

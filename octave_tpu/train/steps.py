@@ -93,12 +93,20 @@ class StepConfig:
     discriminator_depth_c: int = 1
     supervise_attention0: bool = False  # also apply the supervised loss to atts[0]
     # rematerialization of the segmentor forward (memory ↔ FLOPs):
-    #   False  — save everything XLA wants (fastest, most HBM)
-    #   True   — full remat: save only inputs, recompute the whole forward
-    #   'conv' — selective: save exactly the conv outputs (the
-    #            checkpoint_name anchors in models/resnest.py) and recompute
-    #            the cheap norm/activation/pool ops between them — near-zero
-    #            extra MXU work for most of full remat's memory win
+    #   False   — save everything XLA wants (fastest, most HBM)
+    #   True    — one checkpoint region over the whole forward. Measured to
+    #             be nearly useless: the backward recomputes the entire
+    #             forward and holds every intermediate at once (15.26 →
+    #             14.48 GB temps at B=64/304², train_scaling.json)
+    #   'block' — block-granular: the MODEL must be built with
+    #             remat_blocks=True (each Bottleneck / decoder stage is its
+    #             own region, only inter-block residuals stay live); the
+    #             step itself adds no outer checkpoint. The Trainer wires
+    #             this automatically from config train.remat='block'.
+    #   'conv'  — selective: one region saving exactly the conv outputs
+    #             (checkpoint_name anchors in models/resnest.py). Crashes
+    #             the v5e relay compiler at every batch size (recorded in
+    #             train_scaling.json) — kept for reproduction only.
     remat: object = False
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16': MXU-native compute, fp32 master weights
     axis_name: Optional[str] = None
@@ -192,6 +200,8 @@ def make_train_step(
                 _seg_forward,
                 policy=jax.checkpoint_policies.save_only_these_names("conv_out"),
             )
+        elif cfg.remat == "block":
+            pass  # the segmentor itself was built with remat_blocks=True
         elif cfg.remat:
             # full remat: trade FLOPs for HBM — the whole forward is
             # recomputed in the backward

@@ -60,23 +60,27 @@ class Trainer:
 
         # --- segmentor family by config (every documented architecture
         # trains through the same step; VERDICT r2 item 1) ---------------
+        remat_blocks = cfg.train.remat == "block"
         if m.architecture == "unet":
             self.segmentor = ResnestUNet(
                 num_classes=m.num_classes,
                 gating_level=gl,
                 encoder_gating=m.encoder_gating,
                 bn_axis_name=axis,
+                remat_blocks=remat_blocks,
             )
             # pyramid: gates at decoder depths d with gl >= d, d in 4..0
             pyr_levels = {"main": min(gl, 4) + 1}
         elif m.architecture == "parallel_head":
             self.segmentor = ResnestUnetParallelHead(
-                num_classes=m.num_classes, bn_axis_name=axis
+                num_classes=m.num_classes, bn_axis_name=axis,
+                remat_blocks=remat_blocks,
             )
             pyr_levels = {}  # no attention pyramid → no adversarial branch
         elif m.architecture == "parallel_head_gate":
             self.segmentor = ResnestUnetParallelHeadAttentionGate(
-                num_classes=m.num_classes, gating_level=gl, bn_axis_name=axis
+                num_classes=m.num_classes, gating_level=gl, bn_axis_name=axis,
+                remat_blocks=remat_blocks,
             )
             # depth-4 gate is strict `> 3` (segmentor.py:468); the c branch
             # gates depths 1 and 0 only
