@@ -88,7 +88,10 @@ class SpectralConv(nn.Module):
             u_var.value = u
             v_var.value = v
         sigma = jnp.dot(u, w_mat @ v)
-        kernel_sn = kernel / sigma
+        # divide in sigma's (f32) precision, then match the input dtype so
+        # the conv stays MXU-native under bf16 mixed precision (the u/v
+        # power-iteration state is always f32; see train/steps.py _cast)
+        kernel_sn = (kernel / sigma).astype(x.dtype)
 
         y = jax.lax.conv_general_dilated(
             x,
