@@ -56,7 +56,16 @@ def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5,
     )
     cfg = StepConfig(num_classes=2, use_discriminator=use_disc,
                      discriminator_depth=4, compute_dtype="bfloat16", remat=remat)
-    step = jax.jit(make_train_step(seg, disc, cfg), donate_argnums=(0,))
+    step = make_train_step(seg, disc, cfg)
+    k = int(os.environ.get("TS_K", "1"))
+    if k > 1:
+        from octave_tpu.train.steps import make_multi_step
+
+        step = make_multi_step(step, k)
+        batch_d = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (k,) + x.shape), batch_d
+        )
+    step = jax.jit(step, donate_argnums=(0,))
 
     import contextlib
     ctx = contextlib.ExitStack()
@@ -86,9 +95,12 @@ def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5,
             state, losses = step(state, batch_d)
             _ = float(losses["loss_seg_total"])  # forces completion
             ts.append(time.perf_counter() - t0)
-        dt = statistics.median(ts)
-        return {"batch": batch, "remat": remat, "adversarial": use_disc,
-                "step_ms": round(dt * 1e3, 2), "img_per_s": round(batch / dt, 2)}
+        dt = statistics.median(ts) / max(k, 1)  # per train step
+        r = {"batch": batch, "remat": remat, "adversarial": use_disc,
+             "step_ms": round(dt * 1e3, 2), "img_per_s": round(batch / dt, 2)}
+        if k > 1:
+            r["steps_per_call"] = k
+        return r
     except Exception as e:  # OOM etc. — record, don't crash the sweep
         return {"batch": batch, "remat": remat, "error": type(e).__name__,
                 "detail": str(e)[:200]}

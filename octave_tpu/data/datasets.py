@@ -269,6 +269,12 @@ def batch_iterator(
     """Host-side batching into contiguous numpy arrays (the device transform
     is octave_tpu.data.preprocess.prepare_batch)."""
     n = len(dataset)
+    if drop_last and n < batch_size:
+        # without this the epoch loop yields nothing and spins forever
+        raise ValueError(
+            f"batch_size {batch_size} > dataset size {n} with drop_last — "
+            "the iterator would never yield a batch"
+        )
     rng = np.random.default_rng(seed)
     epoch = 0
     while epochs is None or epoch < epochs:

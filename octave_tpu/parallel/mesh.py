@@ -53,9 +53,11 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = DATA_AXIS) -> Dict[str, Any]:
-    """Place a host batch with the leading axis sharded over the mesh."""
-    sharding = NamedSharding(mesh, P(axis))
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = DATA_AXIS,
+                axis_pos: int = 0) -> Dict[str, Any]:
+    """Place a host batch with the batch axis sharded over the mesh.
+    ``axis_pos=1`` shards dim 1 (a stacked multi-step batch, leading k)."""
+    sharding = NamedSharding(mesh, P(*([None] * axis_pos), axis))
 
     def put(x):
         return jax.device_put(x, sharding)
@@ -69,17 +71,21 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def make_parallel_train_step(train_step, mesh: Mesh, axis: str = DATA_AXIS):
+def make_parallel_train_step(train_step, mesh: Mesh, axis: str = DATA_AXIS,
+                             stacked: bool = False):
     """shard_map a single-device train step over the data mesh.
 
     `train_step` must already be built with StepConfig(axis_name=axis) and
     modules constructed with bn_axis_name=axis, so grads/losses pmean and BN
-    stats sync inside. State is replicated, batch sharded on dim 0.
+    stats sync inside. State is replicated, batch sharded on dim 0 — or on
+    dim 1 when ``stacked`` (a multi-step batch stack with leading (k, ...)
+    axis, train/steps.py make_multi_step: every device runs all k steps on
+    its shard of each per-step batch).
     """
     mapped = jax.shard_map(
         train_step,
         mesh=mesh,
-        in_specs=(P(), P(axis)),
+        in_specs=(P(), P(None, axis) if stacked else P(axis)),
         out_specs=(P(), P()),
         check_vma=False,
     )

@@ -361,6 +361,41 @@ def make_train_step(
     return train_step
 
 
+def make_multi_step(train_step, k: int):
+    """Chain ``k`` sequential train steps into ONE device dispatch.
+
+    Profiling the B=128/304² block-remat step on the v5e relay shows 648.6
+    ms/step of device-op time inside a 764.7 ms/step wall — ~116 ms/step
+    (15%) is per-dispatch overhead and inter-dispatch scheduling gaps
+    (benchmarks/profile_train.txt). Serving amortizes the same overhead by
+    aggregating batches per dispatch (serve.predict_many); training
+    amortizes it by unrolling k steps into one jitted call. NOT lax.scan —
+    a conv-heavy scan body lowers ~10x slower on this relay (the loop body
+    gets conservative layouts; docs/architecture.md round-2 measurements).
+
+    The k steps are data-dependent through ``state``, so XLA cannot
+    interleave their compute and peak HBM stays that of a single step
+    (memory_analysis recorded in train_scaling.json).
+
+    ``batches`` must be a pytree whose leaves carry a leading ``(k, ...)``
+    axis (a stack of k per-step batch dicts). Returns ``(state, losses)``
+    with each loss averaged over the k steps (the Trainer's logging window
+    mean is unchanged).
+    """
+    if k <= 1:
+        return train_step
+
+    def multi_step(state, batches):
+        acc = None
+        for i in range(k):
+            b = jax.tree.map(lambda x: x[i], batches)
+            state, losses = train_step(state, b)
+            acc = losses if acc is None else jax.tree.map(jnp.add, acc, losses)
+        return state, jax.tree.map(lambda x: x / k, acc)
+
+    return multi_step
+
+
 def _eval_forward(segmentor, seg_params, batch_stats, image):
     """predict('softmax') semantics for any segmentor-family model; for the
     dual-decoder variants, the MAIN head (index 0, the thick/full-vessel

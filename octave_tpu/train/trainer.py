@@ -23,7 +23,7 @@ from octave_tpu.models.segmentor import (
 )
 from octave_tpu.train.schedule import make_optimizer, polynomial_decay
 from octave_tpu.train.state import TrainState
-from octave_tpu.train.steps import StepConfig, make_train_step
+from octave_tpu.train.steps import StepConfig, make_multi_step, make_train_step
 from octave_tpu.utils.config import Config
 from octave_tpu.utils.logging import MetricsLogger
 from octave_tpu.utils.profiling import StepTimer
@@ -239,6 +239,8 @@ class Trainer:
         from octave_tpu.train.steps import make_eval_accumulate_step
 
         step = make_train_step(self.segmentor, self.discriminator, self.step_cfg)
+        k = max(1, int(self.cfg.train.steps_per_call))
+        step = make_multi_step(step, k)
         acc = make_eval_accumulate_step(self.segmentor, self.cfg.model.num_classes)
         if self.cfg.train.data_parallel:
             from octave_tpu.parallel.mesh import (
@@ -248,7 +250,8 @@ class Trainer:
             )
 
             self.mesh = make_mesh(self.cfg.train.n_devices)
-            self.train_step = make_parallel_train_step(step, self.mesh)
+            self.train_step = make_parallel_train_step(step, self.mesh,
+                                                       stacked=k > 1)
             self._pacc_step = make_parallel_eval_accumulate_step(acc, self.mesh)
         else:
             self.train_step = jax.jit(step, donate_argnums=(0,))
@@ -260,6 +263,7 @@ class Trainer:
         host_batch: Dict[str, np.ndarray],
         sample_weight: Optional[np.ndarray] = None,
         augment_key: Optional[jax.Array] = None,
+        stack_k: int = 1,
     ) -> Dict[str, Any]:
         cfg = self.cfg
         scrib_c = host_batch.get("scribble_c")
@@ -277,10 +281,19 @@ class Trainer:
         )
         if sample_weight is not None:
             batch["sample_weight"] = jnp.asarray(sample_weight, jnp.float32)
+        if stack_k > 1:
+            # multi-step dispatch: the host rows are k concatenated per-step
+            # batches — restack to a leading (k, b, ...) axis (preprocessing
+            # and augmentation are per-sample, so one pass over k*b rows is
+            # identical to k separate passes)
+            batch = jax.tree.map(
+                lambda x: x.reshape(stack_k, -1, *x.shape[1:]), batch
+            )
         if self.mesh is not None:
             from octave_tpu.parallel.mesh import shard_batch
 
-            batch = shard_batch(batch, self.mesh)
+            batch = shard_batch(batch, self.mesh,
+                                axis_pos=1 if stack_k > 1 else 0)
         return batch
 
     # ------------------------------------------------------------------
@@ -327,6 +340,27 @@ class Trainer:
 
         t0 = time.perf_counter()
         window = []
+        kpc = max(1, int(cfg.train.steps_per_call))
+        if kpc > 1:
+            # multi-step dispatch: feed k concatenated per-step batches per
+            # call (restacked to (k, b, ...) in _device_batch)
+            def _grouped(src):
+                src = iter(src)
+                while True:
+                    try:
+                        grp = [next(src) for _ in range(kpc)]
+                    except StopIteration:
+                        return
+                    yield {key: np.concatenate([g[key] for g in grp])
+                           for key in grp[0]}
+
+            it = _grouped(it)
+
+        def _crossed(step: int, every: int) -> bool:
+            # "cadence boundary crossed by this call" — identical to
+            # step % every == 0 at kpc=1, robust when step advances by kpc
+            return every > 0 and (step // every) > ((step - kpc) // every)
+
         try:
             for host_batch in it:
                 if int(state.step) >= cfg.train.steps:
@@ -338,27 +372,29 @@ class Trainer:
                 aug_key = None
                 if cfg.data.augment:
                     self._aug_key, aug_key = jax.random.split(self._aug_key)
-                batch = self._device_batch(host_batch, augment_key=aug_key)
+                batch = self._device_batch(host_batch, augment_key=aug_key,
+                                           stack_k=kpc)
                 state, losses = self.train_step(state, batch)
                 timer.tick()
                 window.append(losses)
                 step = int(state.step)
-                if step % cfg.train.log_every == 0:
+                if _crossed(step, cfg.train.log_every):
                     mean = {
                         k: float(np.mean([float(l[k]) for l in window]))
                         for k in window[-1]
                     }
                     dt = time.perf_counter() - t0
-                    ips = cfg.data.batch_size * len(window) / dt
+                    ips = cfg.data.batch_size * kpc * len(window) / dt
                     log.info("step %d  %s  %.1f img/s", step,
                              "  ".join(f"{k}={v:.4f}" for k, v in mean.items()), ips)
                     if mlog is not None:
-                        mlog.log(step, {**mean, **timer.stats(cfg.data.batch_size)},
+                        mlog.log(step,
+                                 {**mean, **timer.stats(cfg.data.batch_size * kpc)},
                                  prefix="train/")
                     window, t0 = [], time.perf_counter()
-                if ckpt is not None and step % cfg.train.checkpoint_every == 0:
+                if ckpt is not None and _crossed(step, cfg.train.checkpoint_every):
                     ckpt.save(step, state)
-                if cfg.train.eval_every and step % cfg.train.eval_every == 0:
+                if _crossed(step, cfg.train.eval_every):
                     self.evaluate(state)
         finally:
             if cfg.train.profile_dir:

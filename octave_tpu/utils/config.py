@@ -71,6 +71,11 @@ class TrainConfig:
     steps: int = 1000
     eval_every: int = 200
     log_every: int = 50
+    # train steps fused into one device dispatch (train/steps.py
+    # make_multi_step) — amortizes per-dispatch overhead (~116 ms/step
+    # measured at B=128/304² on the v5e relay). log/eval/checkpoint cadence
+    # is honored at call granularity; `steps` may overshoot by < this.
+    steps_per_call: int = 1
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 500
     seed: int = 0

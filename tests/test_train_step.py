@@ -106,6 +106,83 @@ class TestTrainStep:
 
 
 @pytest.mark.slow
+class TestMultiStep:
+    """make_multi_step(step, k) must be EXACTLY k sequential steps — it only
+    changes how many steps ride one device dispatch, never the math."""
+
+    def test_equivalent_to_sequential(self, setup):
+        # SGD state, NOT the fixture's Adam: params must end linear in the
+        # per-step grads, so the only sequential-vs-fused difference is XLA
+        # reassociation noise (~1e-6). Under Adam the comparison is
+        # structurally flaky: update = mu/(sqrt(nu)+eps) is ~sign(g) early,
+        # so ~1e-7 reassociation deltas in near-zero grad elements flip
+        # signs and move single params by O(lr) (measured 2.7e-4 on 2/2048
+        # elements of one kernel) — Adam amplification, not a multi-step
+        # defect. The fused-vs-sequential *mechanism* (state threading,
+        # batch slicing, BN/spectral advance, loss averaging) is what this
+        # test pins down.
+        seg, disc, state0, batch = setup
+        import optax
+
+        state = TrainState.create(
+            seg_params=state0.seg_params,
+            disc_params=state0.disc_params,
+            batch_stats=state0.batch_stats,
+            spectral=state0.spectral,
+            seg_tx=optax.sgd(1e-2),
+            disc_tx=optax.sgd(1e-2),
+            rng=jax.random.PRNGKey(7),
+        )
+        rng = np.random.default_rng(5)
+        batches = [_batch(rng) for _ in range(3)]
+        cfg = StepConfig(num_classes=2, use_discriminator=True,
+                         discriminator_depth=4)
+        step = jax.jit(make_train_step(seg, disc, cfg))
+        from octave_tpu.train.steps import make_multi_step
+
+        multi = jax.jit(make_multi_step(make_train_step(seg, disc, cfg), 3))
+
+        s_seq = state
+        seq_losses = []
+        for b in batches:
+            s_seq, losses = step(s_seq, b)
+            seq_losses.append(losses)
+
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        s_multi, m_losses = multi(state, stacked)
+
+        assert int(s_multi.step) == int(s_seq.step) == 3
+        for a, b_, name in (
+            (s_multi.seg_params, s_seq.seg_params, "seg_params"),
+            (s_multi.disc_params, s_seq.disc_params, "disc_params"),
+            (s_multi.batch_stats, s_seq.batch_stats, "batch_stats"),
+            (s_multi.spectral, s_seq.spectral, "spectral"),
+        ):
+            # not bit-exact: the k-step graph fuses/reassociates differently
+            # than the 1-step graph; with SGD the drift stays at float noise
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b_)):
+                np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-5,
+                    err_msg=name,
+                )
+        want = {
+            k: float(np.mean([float(l[k]) for l in seq_losses]))
+            for k in seq_losses[0]
+        }
+        for k, v in want.items():
+            np.testing.assert_allclose(float(m_losses[k]), v, rtol=1e-3,
+                                       err_msg=k)
+
+    def test_k1_is_identity(self, setup):
+        from octave_tpu.train.steps import make_multi_step
+
+        def f(s, b):
+            return s, b
+
+        assert make_multi_step(f, 1) is f
+
+
+@pytest.mark.slow
 def test_eval_step(setup):
     from octave_tpu.train.steps import make_eval_step
 

@@ -74,6 +74,135 @@ class TestTrainer:
 
 
 @pytest.mark.slow
+class TestStepsPerCall:
+    """train.steps_per_call fuses k steps into one dispatch (train/steps.py
+    make_multi_step); the harness must honor step counts, checkpoint cadence,
+    and the data mesh (stacked batch sharding, parallel/mesh.py)."""
+
+    def test_fit_multi_step(self, tmp_path):
+        from octave_tpu.train.trainer import Trainer
+
+        cfg = _tiny_cfg(tmp_path, **{"train.steps_per_call": 2,
+                                     "train.steps": 4})
+        trainer = Trainer(cfg)
+        state = trainer.fit()
+        assert int(state.step) == 4
+        metrics = trainer.evaluate(state)
+        assert 0.0 <= metrics["dice"] <= 1.0
+        # checkpoint cadence crossed at least once (every=2, k=2)
+        from octave_tpu.utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        s2 = mgr.restore_latest(trainer.init_state())
+        assert s2 is not None and int(s2.step) == 4
+        mgr.close()
+
+    # The full Trainer.fit at steps_per_call=2 over a mesh is NOT tested
+    # end-to-end here: shard_map x k=2 x the fixed resnest50 graph takes
+    # hours to compile on a 1-CPU host (XLA CPU SPMD), starving the suite.
+    # The k=1 mesh fit path is driver-gated (__graft_entry__.dryrun_multichip
+    # asserts sharded ≡ single-device loss) and covered by
+    # tests/test_parallel.py; the two tests below pin down exactly what
+    # steps_per_call ADDS to the mesh path: the (k, b, ...) restack in
+    # Trainer._device_batch and the stacked in_specs of
+    # make_parallel_train_step.
+
+    def test_device_batch_stacked_sharding(self):
+        from jax.sharding import PartitionSpec as P
+
+        from octave_tpu.train.trainer import Trainer
+
+        cfg = _tiny_cfg(None, **{"train.steps_per_call": 2,
+                                 "data.batch_size": 8,
+                                 "data.synthetic_n": 16,
+                                 "train.data_parallel": "true",
+                                 "train.n_devices": 8})
+        trainer = Trainer(cfg)
+        import octave_tpu.data.datasets as ds
+        from octave_tpu.train.trainer import build_dataset
+
+        it = ds.batch_iterator(build_dataset(cfg, "train"), 16,
+                               seed=cfg.train.seed)
+        host = next(it)
+        flat = trainer._device_batch(host)           # k=1: dim 0 sharded
+        stacked = trainer._device_batch(host, stack_k=2)
+        import jax
+
+        for key in ("image", "scribble_onehot"):
+            f, s = flat[key], stacked[key]
+            assert s.shape == (2, 8, *f.shape[1:]), (key, s.shape, f.shape)
+            assert s.sharding.spec == P(None, "data"), s.sharding.spec
+            assert f.sharding.spec == P("data"), f.sharding.spec
+            # restack semantics: row-major split of the k*b host rows
+            np.testing.assert_array_equal(
+                np.asarray(s).reshape(16, *f.shape[1:])[: f.shape[0]],
+                np.asarray(f),
+            )
+
+    def test_stacked_shard_map_equivalence(self):
+        """make_parallel_train_step(stacked=True) over a k-stacked batch must
+        equal k sequential mesh steps (micro model — the resnest graph's
+        mesh step is covered at k=1 elsewhere; this pins the NEW specs)."""
+        import jax
+        import jax.numpy as jnp
+
+        from octave_tpu.parallel.mesh import (
+            make_mesh,
+            make_parallel_train_step,
+            replicate,
+            shard_batch,
+        )
+        from octave_tpu.train.steps import make_multi_step
+
+        def micro_step(state, batch):
+            def loss_fn(w):
+                pred = batch["x"] @ w
+                return jnp.mean((pred - batch["y"]) ** 2)
+
+            loss, g = jax.value_and_grad(loss_fn)(state["w"])
+            g = jax.lax.pmean(g, "data")
+            loss = jax.lax.pmean(loss, "data")
+            return (
+                {"w": state["w"] - 0.1 * g, "n": state["n"] + 1},
+                {"loss": loss},
+            )
+
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(0)
+        w0 = rng.normal(size=(4,)).astype(np.float32)
+
+        def fresh_state():
+            # the parallel step DONATES its state argument — each run needs
+            # its own buffers
+            return replicate(
+                {"w": jnp.asarray(w0), "n": jnp.zeros((), jnp.int32)}, mesh
+            )
+        b1 = {"x": rng.normal(size=(16, 4)).astype(np.float32),
+              "y": rng.normal(size=(16,)).astype(np.float32)}
+        b2 = {"x": rng.normal(size=(16, 4)).astype(np.float32),
+              "y": rng.normal(size=(16,)).astype(np.float32)}
+
+        seq = make_parallel_train_step(micro_step, mesh)
+        s_seq, l1 = seq(fresh_state(), shard_batch(b1, mesh))
+        s_seq, l2 = seq(s_seq, shard_batch(b2, mesh))
+
+        stacked_step = make_parallel_train_step(
+            make_multi_step(micro_step, 2), mesh, stacked=True
+        )
+        batches = jax.tree.map(lambda a, b: np.stack([a, b]), b1, b2)
+        s_multi, l_mean = stacked_step(fresh_state(),
+                                       shard_batch(batches, mesh,
+                                                   axis_pos=1))
+
+        assert int(s_multi["n"]) == int(s_seq["n"]) == 2
+        np.testing.assert_allclose(np.asarray(s_multi["w"]),
+                                   np.asarray(s_seq["w"]), rtol=1e-6)
+        np.testing.assert_allclose(
+            float(l_mean["loss"]),
+            (float(l1["loss"]) + float(l2["loss"])) / 2, rtol=1e-6)
+
+
+@pytest.mark.slow
 def test_pretrained_backbone_load(tmp_path, torch_reference):
     """The reference's pretrian=True flow end-to-end: a real .pth state_dict
     (generated from the torch reference model) loads into the segmentor
