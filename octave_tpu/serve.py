@@ -94,6 +94,11 @@ class Predictor:
                 self.variables, self._quant_scales = prepack_weights(
                     self.variables, self._quant_scales
                 )
+                # prepack_weights returns the packed kernels as HOST numpy
+                # arrays; params ride every jitted call as arguments, so
+                # host leaves would re-upload ~70 MB over the relay link on
+                # EACH call (measured 3.4 s/call, benchmarks/serve_latency
+                # .json pre-fix). Commit the tree to device once here.
                 if mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -101,6 +106,8 @@ class Predictor:
                         lambda x: jax.device_put(x, NamedSharding(mesh, P())),
                         self.variables,
                     )
+                else:
+                    self.variables = jax.device_put(self.variables)
 
         def fwd(params, image):
             if jnp.issubdtype(image.dtype, jnp.integer):

@@ -218,8 +218,10 @@ class TestPrepack:
         """End-to-end: Predictor(int8_prepack=True) vs the per-call int8
         Predictor on the same weights (VERDICT r2 item 3: offline packing
         must be a pure graph simplification). The packed int8 KERNELS are
-        bit-identical to what the per-call path quantizes (verified below
-        via quantize_weight); the bf16 outputs agree to bf16 rounding —
+        bit-identical to the jitted quantize_weight expression prepack runs
+        (verified below; an EAGER quantize_weight can flip single elements
+        sitting exactly on a rounding boundary — XLA fuses kf*(1/ws)
+        differently); the bf16 outputs agree to bf16 rounding —
         constant-folding the dequant multiplies reorders bf16 math, so
         exact-bit output equality across the two graphs is not a meaningful
         target. Masks must be identical."""
@@ -246,10 +248,18 @@ class TestPrepack:
             if v.dtype == np.int8:
                 n_int8 += 1
                 # bit-identical to the per-call quantization of this kernel
-                wq_ref, _ = quant.quantize_weight(flat_percall[p])
+                # (same jitted expression prepack_weights traces)
+                wq_ref, _ = jax.jit(quant.quantize_weight)(flat_percall[p])
                 np.testing.assert_array_equal(np.asarray(wq_ref), np.asarray(v), err_msg=p)
         assert n_int8 >= 10, n_int8
+        # packed variables must be COMMITTED device arrays: params ride
+        # every jitted call as arguments, and a host-numpy leaf re-uploads
+        # on each call (~70 MB over the relay link; measured 3.4 s/call,
+        # benchmarks/serve_latency.json pre-fix)
+        for p, v in flat_packed.items():
+            assert isinstance(v, jax.Array), f"host leaf after prepack: {p}"
         y1, y2 = percall(x), packed(x)
-        # probabilities within bf16 rounding; hard masks identical
-        np.testing.assert_allclose(y1, y2, atol=2e-3)
+        # probabilities within bf16 rounding — one bf16 ulp at p∈[0.5,1) is
+        # 2^-9 ≈ 0.00195, so allow two ulps; hard masks identical
+        np.testing.assert_allclose(y1, y2, atol=4e-3)
         np.testing.assert_array_equal(y1.argmax(-1), y2.argmax(-1))
