@@ -11,7 +11,10 @@ The framework's production inference path (BASELINE.json north star: ≥5k
 """
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Tuple
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Iterable, Iterator, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -271,6 +274,18 @@ class Predictor:
         with self._trace_ctx():
             return self._scan_jitted(self.variables, x)
 
+    def warmup(self, batch: int, image_hw: Tuple[int, int],
+               ks: Sequence[int] = (1,), in_channels: int = 3,
+               wire_dtype=np.uint8) -> None:
+        """Pre-compile the serving graphs for the given batch size and
+        aggregation depths so the first real request never hits a compile
+        stall (first XLA compile is ~20-40 s on a cold relay). `wire_dtype`
+        must match the dtype real requests arrive in (dtype is part of the
+        jit cache key)."""
+        for k in sorted(set(int(k) for k in ks)):
+            zeros = np.zeros((k, batch, *image_hw, in_channels), wire_dtype)
+            self.predict_many_device(zeros).block_until_ready()
+
     def predict_stream(
         self, batches: Iterable[np.ndarray], depth: int = 2
     ) -> Iterator[np.ndarray]:
@@ -291,3 +306,166 @@ class Predictor:
             inflight.append(self._fn(self.variables, self._put(batch)))
         while inflight:
             yield np.asarray(inflight.popleft())
+
+
+class BatchServer:
+    """Queue-depth-adaptive dynamic batcher over a `Predictor`.
+
+    The production request front-end (ROADMAP r4 item 2): callers `submit()`
+    single images (h, w, c) and get a `concurrent.futures.Future` for the
+    per-image output. A worker thread groups pending requests into the
+    compiled `(k, batch, h, w, c)` stacks of `Predictor.predict_many` and
+    picks the aggregation depth k PER DISPATCH from the queue backlog:
+
+      * idle/low load  → k = 1, partial batch zero-padded → lowest latency
+        (one ~28 ms relay dispatch over one batch);
+      * backlog        → the largest k in `ks` the backlog fills → highest
+        throughput (dispatch overhead amortized k×, measured in
+        benchmarks/int8_ab.json: agg4 1,138 vs per-call 1,046 img/s).
+
+    Shapes are static: every request must be exactly `image_hw` + `channels`
+    (the data pipeline's resize/pad runs upstream) and every dispatch uses
+    the same (k, batch) stacks compiled at warmup, so serving never
+    recompiles. Zero-padded slots ride along and are dropped on the way out
+    — at k=1/batch=B a single request costs one full batch of device time,
+    the price of static shapes; pick `batch` for the latency SLO and let k
+    scale throughput.
+    """
+
+    def __init__(
+        self,
+        predictor: Predictor,
+        batch: int = 16,
+        image_hw: Tuple[int, int] = (304, 304),
+        channels: int = 3,
+        ks: Sequence[int] = (1, 2, 4),
+        wire_dtype=np.uint8,
+        warmup: bool = True,
+        max_queue: int = 4096,
+    ):
+        self.predictor = predictor
+        self.batch = int(batch)
+        self.image_hw = tuple(image_hw)
+        self.channels = int(channels)
+        self.ks = tuple(sorted(set(int(k) for k in ks)))
+        if not self.ks or self.ks[0] < 1:
+            raise ValueError(f"ks must be positive ints, got {ks!r}")
+        self.wire_dtype = np.dtype(wire_dtype)
+        self._shape = (*self.image_hw, self.channels)
+        if warmup:
+            predictor.warmup(self.batch, self.image_hw, self.ks,
+                             self.channels, self.wire_dtype)
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="octave-batch-server")
+        self._worker.start()
+
+    # -- client side ----------------------------------------------------
+    def submit(self, image: np.ndarray) -> Future:
+        """Enqueue one (h, w, c) image; returns a Future of the (h, w, ...)
+        output (the predictor's output_format decides the payload)."""
+        if self._closed:
+            raise RuntimeError("BatchServer is closed")
+        img = np.asarray(image)
+        if img.shape != self._shape:
+            raise ValueError(
+                f"request shape {img.shape} != served shape {self._shape} "
+                "(resize/pad upstream; serving shapes are compiled statically)"
+            )
+        if img.dtype != self.wire_dtype:
+            raise ValueError(
+                f"request dtype {img.dtype} != wire dtype {self.wire_dtype} "
+                "(dtype is part of the compiled signature)"
+            )
+        fut: Future = Future()
+        self._queue.put((img, fut))
+        return fut
+
+    def map(self, images: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
+        """Submit a stream and yield results in order (keeps up to one
+        full max-k window in flight)."""
+        from collections import deque
+
+        pending: "deque[Future]" = deque()
+        depth = self.ks[-1] * self.batch * 2
+        for img in images:
+            while len(pending) >= depth:
+                yield pending.popleft().result()
+            pending.append(self.submit(img))
+        while pending:
+            yield pending.popleft().result()
+
+    def close(self) -> None:
+        """Drain outstanding requests, then stop the worker."""
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(None)  # sentinel
+        self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- worker side ----------------------------------------------------
+    def _take(self):
+        """Block for the first request, then greedily drain up to
+        max_k*batch more without blocking. Returns (items, stop)."""
+        first = self._queue.get()
+        if first is None:
+            return [], True
+        items = [first]
+        cap = self.ks[-1] * self.batch
+        stop = False
+        while len(items) < cap:
+            try:
+                nxt = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is None:
+                stop = True
+                break
+            items.append(nxt)
+        return items, stop
+
+    def _pick_k(self, n: int) -> int:
+        """Largest k whose stack the backlog fills at least (k-1) batches
+        of — i.e. grow k only when there is work to amortize over."""
+        k = self.ks[0]
+        for cand in self.ks:
+            if n > (cand - 1) * self.batch:
+                k = cand
+        return k
+
+    def _run(self) -> None:
+        while True:
+            items, stop = self._take()
+            while items:
+                k = self._pick_k(len(items))
+                take = min(len(items), k * self.batch)
+                chunk, items = items[:take], items[take:]
+                try:
+                    stack = np.zeros((k, self.batch, *self._shape), self.wire_dtype)
+                    flat = stack.reshape(k * self.batch, *self._shape)
+                    for i, (img, _) in enumerate(chunk):
+                        flat[i] = img
+                    out = self.predictor.predict_many(stack)
+                    out = out.reshape(k * self.batch, *out.shape[2:])
+                    for i, (_, fut) in enumerate(chunk):
+                        fut.set_result(out[i])
+                except Exception as e:  # surface the failure on every waiter
+                    for _, fut in chunk:
+                        if not fut.done():
+                            fut.set_exception(e)
+            if stop:
+                # resolve anything enqueued after the sentinel raced in
+                while True:
+                    try:
+                        nxt = self._queue.get_nowait()
+                    except queue.Empty:
+                        return
+                    if nxt is not None:
+                        nxt[1].set_exception(RuntimeError("BatchServer closed"))

@@ -158,6 +158,7 @@ class Trainer:
         seg_tx = make_optimizer(
             schedule=polynomial_decay(o.seg_lr, o.end_lr, o.decay_steps, o.power),
             weight_decay=o.weight_decay, grad_clip=o.grad_clip,
+            moment_dtype=o.moment_dtype,
         )
         disc_params = spectral = None
         disc_tx = None
@@ -186,7 +187,7 @@ class Trainer:
                 spectral = dv.get("spectral")
             disc_tx = make_optimizer(
                 schedule=polynomial_decay(o.disc_lr, o.end_lr, o.decay_steps, o.power),
-                grad_clip=o.grad_clip,
+                grad_clip=o.grad_clip, moment_dtype=o.moment_dtype,
             )
 
         state = TrainState.create(

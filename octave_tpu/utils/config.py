@@ -55,6 +55,8 @@ class OptimConfig:
     decay_steps: int = 10_000
     weight_decay: float = 0.0
     grad_clip: Optional[float] = None
+    # 'bfloat16': Adam first moment in bf16 (schedule.make_optimizer)
+    moment_dtype: Optional[str] = None
 
 
 @dataclasses.dataclass

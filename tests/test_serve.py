@@ -81,3 +81,71 @@ def test_predictor_output_formats(rng):
                              output_format="prob_f16")(img8)
     assert h.dtype == np.float16
     np.testing.assert_allclose(h, ref, atol=1e-3)
+
+
+class TestBatchServer:
+    """Queue-depth-adaptive dynamic batcher (serve.BatchServer).
+
+    All tests share ONE class-scoped Predictor so the jitted graphs
+    (direct batch=2, predict_many k=1 and k=2) compile once — jax.jit
+    caches by input shape, so every BatchServer built on the same
+    predictor reuses them (CPU compiles dominate test wall time)."""
+
+    @pytest.fixture(scope="class")
+    def pred(self):
+        return Predictor.initialize(image_hw=(32, 32), dtype=jnp.float32)
+
+    def _server(self, pred, **kw):
+        from octave_tpu.serve import BatchServer
+
+        kw.setdefault("batch", 2)
+        kw.setdefault("image_hw", (32, 32))
+        kw.setdefault("ks", (1, 2))
+        kw.setdefault("warmup", False)  # lazy-compile only the ks a test hits
+        return BatchServer(pred, **kw)
+
+    def test_results_match_direct_and_order(self, pred, rng):
+        imgs = [rng.integers(0, 256, (32, 32, 3), dtype=np.uint8) for _ in range(7)]
+        with self._server(pred) as srv:
+            outs = list(srv.map(iter(imgs)))
+        assert len(outs) == 7
+        # ground truth from the direct batch=2 path: each image's output
+        # must not depend on which slot/batch the server routed it through
+        for i, (img, out) in enumerate(zip(imgs, outs)):
+            want = pred(np.stack([img, imgs[(i + 1) % 7]]))[0]
+            np.testing.assert_allclose(out, want, atol=1e-5)
+
+    def test_padding_slots_do_not_leak(self, pred, rng):
+        # 1 request into batch=2: the zero-padded slot must be dropped
+        img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        with self._server(pred) as srv:
+            out = srv.submit(img).result(timeout=600)
+        assert out.shape == (32, 32, 2)
+        np.testing.assert_allclose(out, pred(np.stack([img, img]))[0], atol=1e-5)
+
+    def test_shape_and_dtype_validation(self, pred):
+        with self._server(pred) as srv:
+            with pytest.raises(ValueError, match="shape"):
+                srv.submit(np.zeros((16, 16, 3), np.uint8))
+            with pytest.raises(ValueError, match="dtype"):
+                srv.submit(np.zeros((32, 32, 3), np.float32))
+
+    def test_submit_after_close_raises(self, pred):
+        srv = self._server(pred)
+        srv.close()
+        srv.close()  # idempotent
+        with pytest.raises(RuntimeError, match="closed"):
+            srv.submit(np.zeros((32, 32, 3), np.uint8))
+
+    def test_pick_k_grows_with_backlog(self, pred):
+        with self._server(pred, ks=(1, 2, 4)) as srv:
+            assert srv._pick_k(1) == 1
+            assert srv._pick_k(2) == 1
+            assert srv._pick_k(3) == 2
+            assert srv._pick_k(4) == 2
+            # k=4 pads 3 of 8 slots at n=5 — grow only once the backlog
+            # fills (k-1) full batches, i.e. n > 6
+            assert srv._pick_k(5) == 2
+            assert srv._pick_k(6) == 2
+            assert srv._pick_k(7) == 4
+            assert srv._pick_k(800) == 4

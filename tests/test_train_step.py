@@ -193,3 +193,24 @@ def test_eval_step(setup):
     for k in ("dice", "iou", "auc", "accuracy", "sensitivity", "specificity"):
         v = float(metrics[k])
         assert 0.0 <= v <= 1.0, (k, v)
+
+
+def test_moment_dtype_bf16():
+    """make_optimizer(moment_dtype='bfloat16'): mu stored bf16, nu stays
+    f32, and an update still produces finite f32 params."""
+    import jax.numpy as jnp
+    import optax
+
+    params = {"w": jnp.ones((4, 4), jnp.float32), "b": jnp.zeros((4,), jnp.float32)}
+    tx = make_optimizer(1e-3, moment_dtype="bfloat16")
+    opt_state = tx.init(params)
+    mus = [l for l in jax.tree.leaves(opt_state) if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+    assert len(mus) == 2, "expected the two mu leaves in bf16"
+    f32s = [l for l in jax.tree.leaves(opt_state) if hasattr(l, "dtype") and l.dtype == jnp.float32]
+    assert len(f32s) >= 2, "nu must stay f32"
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    for leaf in jax.tree.leaves(new_params):
+        assert leaf.dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(leaf)))
