@@ -48,10 +48,12 @@ def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5,
         {"params": key, "noise": key},
         [p[:1].astype(jnp.float32) for p in batch_d["mask_pyramid"]], False,
     )
+    mu = os.environ.get("TS_MU") or None  # 'bfloat16': Adam mu in bf16
     state = TrainState.create(
         seg_params=seg_vars["params"], disc_params=disc_vars["params"],
         batch_stats=seg_vars["batch_stats"], spectral=disc_vars["spectral"],
-        seg_tx=make_optimizer(1e-3), disc_tx=make_optimizer(1e-4),
+        seg_tx=make_optimizer(1e-3, moment_dtype=mu),
+        disc_tx=make_optimizer(1e-4, moment_dtype=mu),
         rng=jax.random.PRNGKey(3),
     )
     cfg = StepConfig(num_classes=2, use_discriminator=use_disc,
@@ -100,6 +102,8 @@ def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5,
              "step_ms": round(dt * 1e3, 2), "img_per_s": round(batch / dt, 2)}
         if k > 1:
             r["steps_per_call"] = k
+        if mu:
+            r["moment_dtype"] = mu
         return r
     except Exception as e:  # OOM etc. — record, don't crash the sweep
         return {"batch": batch, "remat": remat, "error": type(e).__name__,
