@@ -23,6 +23,7 @@ sigmoid gate instead — documented deviation.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Callable, List, Optional, Tuple
 
 import jax
@@ -61,7 +62,7 @@ def global_avg_pool_2d(x: jax.Array) -> jax.Array:
 import contextlib
 
 
-class _GroupsAsDense:
+class _GroupsAsDenseSwitch(threading.local):
     """Trace-time switch: lower grouped convs as dense convs with
     block-diagonal kernels. XLA's grouped-conv lowering for small per-group
     channel counts produces dilated 3D-conv tricks that run far below MXU
@@ -72,18 +73,24 @@ class _GroupsAsDense:
 
     `include` optionally scopes the lowering by module path (global dense
     measured slower in r1 — the encoder's wide grouped convs pay real extra
-    FLOPs; the narrow decoder splat convs are the candidates)."""
+    FLOPs; the narrow decoder splat convs are the candidates).
 
-    active = False
-    include = None
+    Thread-LOCAL so concurrent Predictor traces on different threads can't
+    contaminate each other (VERDICT r3 item 9)."""
 
-    @classmethod
-    def should(cls, mod) -> bool:
-        if not cls.active:
+    def __init__(self):
+        self.active = False
+        self.include = None
+
+    def should(self, mod) -> bool:
+        if not self.active:
             return False
-        if cls.include is None:
+        if self.include is None:
             return True
-        return cls.include("/".join(str(p) for p in mod.scope.path))
+        return self.include("/".join(str(p) for p in mod.scope.path))
+
+
+_GroupsAsDense = _GroupsAsDenseSwitch()
 
 
 @contextlib.contextmanager

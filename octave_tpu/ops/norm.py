@@ -16,6 +16,7 @@ statistics are pmean'd over ICI.
 """
 from __future__ import annotations
 
+import threading
 from typing import Optional
 
 import jax
@@ -24,15 +25,21 @@ from flax import linen as nn
 from jax import lax
 
 
-class _FoldedInference:
+class _FoldedSwitch(threading.local):
     """Trace-time switch: inside `folded_inference()`, every BatchNorm's eval
     path reads pre-folded scale/bias directly (y = x*scale + bias) and skips
     the mean/var/rsqrt math — the stats must have been folded into the params
     with `fold_batch_stats` first. Eliminates ~100 tiny scalar-unit kernels
     per ResnestUNet forward (each measured at multiple ms on the v5e relay
-    backend — see docs/architecture.md)."""
+    backend — see docs/architecture.md). Thread-LOCAL so concurrent
+    Predictor traces on different threads can't contaminate each other
+    (VERDICT r3 item 9)."""
 
-    active = False
+    def __init__(self):
+        self.active = False
+
+
+_FoldedInference = _FoldedSwitch()
 
 
 import contextlib

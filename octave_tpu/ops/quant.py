@@ -33,6 +33,7 @@ serve.py's wire formats).
 from __future__ import annotations
 
 import contextlib
+import threading
 from typing import Callable, Dict, Iterable, NamedTuple, Optional
 
 import jax
@@ -53,20 +54,23 @@ class PackedScale(NamedTuple):
     w_scale: np.ndarray  # (C_out,)
 
 
-class _Quant:
+class _QuantSwitch(threading.local):
     """Trace-time switches. ``calibrating`` makes wrapped convs record input
     absmax into the mutable ``quant_stats`` collection; ``scales`` (a
     path->scale dict) makes convs whose path is present run int8.
 
-    Like the repo's other trace-time switches (``folded_inference``,
-    ``groups_as_dense``) this is process-global: Predictors are NOT
-    thread-safe during first-call TRACING (two differently configured
-    predictors tracing concurrently could capture each other's contexts,
-    ADVICE r2). Cached executions are unaffected — trace each predictor
-    once (its constructor or first call) before sharing across threads."""
+    Thread-LOCAL (like the repo's other trace-time switches,
+    ``folded_inference`` / ``groups_as_dense``): two differently configured
+    Predictors can trace concurrently from different threads without
+    capturing each other's contexts (VERDICT r3 item 9). The context
+    managers must wrap the trace on the SAME thread that calls jit."""
 
-    calibrating = False
-    scales: Optional[Dict[str, float]] = None
+    def __init__(self):
+        self.calibrating = False
+        self.scales: Optional[Dict[str, float]] = None
+
+
+_Quant = _QuantSwitch()
 
 
 @contextlib.contextmanager

@@ -74,3 +74,65 @@ def load_pytree(path: str, abstract_tree: Optional[Any] = None) -> Any:
     if abstract_tree is not None:
         return ckptr.restore(os.path.abspath(path), abstract_tree)
     return ckptr.restore(os.path.abspath(path))
+
+
+# ---------------------------------------------------------------------------
+# Compact committed-weights format (serving halves only).
+#
+# A single .npz small enough to live in git, so the driver bench and a clean
+# checkout can always serve the SAME trained weights the accuracy artifacts
+# validate (VERDICT r3 item 1). float32 leaves are stored as bfloat16 bit
+# patterns (uint16) — the serving path computes in bf16 anyway, so this is
+# lossless for inference; everything else round-trips exactly.
+
+_BF16_PREFIX = "bf16:"
+_RAW_PREFIX = "raw:"
+_SEP = "/"
+
+
+def _flatten(tree: Any, prefix: str = "") -> Any:
+    import numpy as np
+
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, f"{prefix}{_SEP}{k}" if prefix else str(k))
+    else:
+        yield prefix, np.asarray(tree)
+
+
+def export_weights_npz(path: str, variables: Any) -> None:
+    """Save {"params": ..., "batch_stats": ...} (any nested dict-of-arrays)
+    as a compact npz: float32 → bf16 bit patterns, other dtypes verbatim."""
+    import ml_dtypes
+    import numpy as np
+
+    out = {}
+    for key, arr in _flatten(variables):
+        if arr.dtype == np.float32 or str(arr.dtype) == "bfloat16":
+            out[_BF16_PREFIX + key] = arr.astype(ml_dtypes.bfloat16).view(np.uint16)
+        else:
+            out[_RAW_PREFIX + key] = arr
+    np.savez_compressed(path, **out)
+
+
+def load_weights_npz(path: str) -> Any:
+    """Inverse of export_weights_npz: nested dict with float32 leaves."""
+    import ml_dtypes
+    import numpy as np
+
+    data = np.load(path)
+    tree: dict = {}
+    for full in data.files:
+        if full.startswith(_BF16_PREFIX):
+            key, arr = full[len(_BF16_PREFIX):], data[full]
+            arr = arr.view(ml_dtypes.bfloat16).astype(np.float32)
+        elif full.startswith(_RAW_PREFIX):
+            key, arr = full[len(_RAW_PREFIX):], data[full]
+        else:  # pragma: no cover - defensive
+            raise ValueError(f"unknown npz key prefix: {full!r}")
+        node = tree
+        parts = key.split(_SEP)
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+    return tree
