@@ -38,8 +38,9 @@ def main() -> None:
 
     hw = 304
     try:
-        variables = load_trained_variables()
-        weights = "ckpt304"
+        variables, weights = load_trained_variables()
+        if variables is None:
+            weights = "random"
     except Exception:
         variables = None
         weights = "random"

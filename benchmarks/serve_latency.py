@@ -38,9 +38,9 @@ def main() -> None:
 
     hw = 304
     try:
-        variables = load_trained_variables()
+        variables, weights_label = load_trained_variables()
     except Exception:
-        variables = None
+        variables, weights_label = None, None
 
     def make(**kw):
         if variables is not None:
@@ -61,7 +61,8 @@ def main() -> None:
     out = open(os.path.join(here, "serve_latency.json"), "a")
     for batch in (1, 4, 16, 64):
         x_host = phantom_batch(batch, hw)
-        row = {"batch": batch, "weights": "ckpt304" if variables else "random"}
+        row = {"batch": batch,
+               "weights": weights_label if variables is not None else "random"}
         for name, pred in preds.items():
             x = pred._put(jnp.asarray(x_host, jnp.float32))  # pre-upload
             call = pred._fn

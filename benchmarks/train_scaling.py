@@ -104,6 +104,8 @@ def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5,
             r["steps_per_call"] = k
         if mu:
             r["moment_dtype"] = mu
+        if os.environ.get("TS_DENSE"):
+            r["dense_groups"] = "decoder"
         return r
     except Exception as e:  # OOM etc. — record, don't crash the sweep
         return {"batch": batch, "remat": remat, "error": type(e).__name__,

@@ -109,6 +109,14 @@ class StepConfig:
     #             train_scaling.json) — kept for reproduction only.
     remat: object = False
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16': MXU-native compute, fp32 master weights
+    # None | 'decoder' | 'all' — lower grouped convs to block-diagonal DENSE
+    # convs in the train graph (models/resnest.py::groups_as_dense; exact
+    # math, identical param tree, and the transpose/grad convs lower dense
+    # too). The decoder splat convs run groups=4 with 16-32 channels per
+    # group — far below the MXU's 128-lane tiling; dense does 4x the FLOPs
+    # at full MXU rate on these bandwidth-bound stages (the inference-side
+    # win was +11% composed with int8, docs/architecture.md).
+    dense_groups: Optional[str] = None
     axis_name: Optional[str] = None
 
 
@@ -165,6 +173,26 @@ def make_train_step(
     use_d = cfg.use_discriminator and bool(disc_items)
     cdtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
 
+    if cfg.dense_groups is not None:
+        from octave_tpu.models.resnest import groups_as_dense
+
+        if cfg.dense_groups not in ("decoder", "all"):
+            raise ValueError(
+                f"unknown dense_groups {cfg.dense_groups!r}; "
+                "expected None | 'decoder' | 'all'"
+            )
+        _include = (None if cfg.dense_groups == "all"
+                    else lambda p: p.startswith("decoder_"))
+
+        def _dense_ctx():
+            # trace-time switch: active while the step traces (thread-local,
+            # models/resnest.py); cached executions are unaffected
+            return groups_as_dense(_include)
+    else:
+        import contextlib
+
+        _dense_ctx = contextlib.nullcontext
+
     def _cast(tree):
         if cdtype is None:
             return tree
@@ -187,12 +215,13 @@ def make_train_step(
         def _seg_forward(seg_params, image):
             # mixed precision: cast INSIDE the differentiated fn so grads come
             # back fp32 through the cast-transpose (fp32 master weights)
-            return segmentor.apply(
-                {"params": _cast(seg_params), "batch_stats": state.batch_stats},
-                _cast(image),
-                True,
-                mutable=["batch_stats"],
-            )
+            with _dense_ctx():
+                return segmentor.apply(
+                    {"params": _cast(seg_params), "batch_stats": state.batch_stats},
+                    _cast(image),
+                    True,
+                    mutable=["batch_stats"],
+                )
 
         if cfg.remat == "conv":
             # selective remat: keep conv outputs, recompute everything else

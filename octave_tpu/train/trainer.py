@@ -140,6 +140,7 @@ class Trainer:
             discriminator_depth_c=self._disc_depths.get("c", 1),
             remat=cfg.train.remat,
             compute_dtype=cfg.train.compute_dtype,
+            dense_groups=cfg.train.dense_groups,
             axis_name=axis,
         )
         self.mesh = None

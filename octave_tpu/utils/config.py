@@ -89,6 +89,9 @@ class TrainConfig:
     # False | True (full) | 'conv' (selective: save conv outputs only) —
     # see train/steps.py StepConfig.remat
     remat: Any = False
+    # None | 'decoder' | 'all': lower grouped convs dense in the TRAIN graph
+    # (see train/steps.py StepConfig.dense_groups)
+    dense_groups: Optional[str] = None
     debug_nans: bool = False
 
 
