@@ -164,16 +164,21 @@ class ResnestUNet(nn.Module):
     use_fused_decoder: bool = False
     # block-granular remat (StepConfig.remat='block'): every backbone
     # Bottleneck and every decoder stage is its own checkpoint region; the
-    # parameter tree is unchanged (nn.remat is a lifted transform)
-    remat_blocks: bool = False
+    # parameter tree is unchanged (nn.remat is a lifted transform).
+    # 'encoder' (StepConfig.remat='block-enc') remats the backbone only.
+    remat_blocks: object = False
 
     def setup(self):
         ax = self.bn_axis_name
         self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax,
                                 remat_blocks=self.remat_blocks, name="backbone")
+        # remat_blocks=True remats encoder Bottlenecks AND decoder stages;
+        # 'encoder' remats only the backbone (decoder activations stay
+        # saved — trades ~5 GB HBM at B=128/304^2 for skipping the decoder
+        # forward recompute in the backward)
         dec_cls = (
             nn.remat(ResNestDecoder, static_argnums=(2,))
-            if self.remat_blocks else ResNestDecoder
+            if self.remat_blocks is True else ResNestDecoder
         )
 
         if self.encoder_gating:
@@ -341,15 +346,19 @@ class ResnestUnetParallelHead(nn.Module):
 
     num_classes: int
     bn_axis_name: Optional[str] = None
-    remat_blocks: bool = False  # see ResnestUNet.remat_blocks
+    remat_blocks: object = False  # see ResnestUNet.remat_blocks
 
     def setup(self):
         ax = self.bn_axis_name
         self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax,
                                 remat_blocks=self.remat_blocks, name="backbone")
+        # remat_blocks=True remats encoder Bottlenecks AND decoder stages;
+        # 'encoder' remats only the backbone (decoder activations stay
+        # saved — trades ~5 GB HBM at B=128/304^2 for skipping the decoder
+        # forward recompute in the backward)
         dec_cls = (
             nn.remat(ResNestDecoder, static_argnums=(2,))
-            if self.remat_blocks else ResNestDecoder
+            if self.remat_blocks is True else ResNestDecoder
         )
         self.upsampling_0 = Upsampling(64, 64, name="upsampling_0")
         self.decoder_0 = dec_cls(64, 32, bn_axis_name=ax, name="decoder_0")
@@ -424,15 +433,19 @@ class ResnestUnetParallelHeadAttentionGate(nn.Module):
     bn_axis_name: Optional[str] = None
     use_pallas_aag: bool = False
     use_fused_decoder: bool = False  # eval-only fused decoder tail + AAG
-    remat_blocks: bool = False  # see ResnestUNet.remat_blocks
+    remat_blocks: object = False  # see ResnestUNet.remat_blocks
 
     def setup(self):
         ax = self.bn_axis_name
         self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax,
                                 remat_blocks=self.remat_blocks, name="backbone")
+        # remat_blocks=True remats encoder Bottlenecks AND decoder stages;
+        # 'encoder' remats only the backbone (decoder activations stay
+        # saved — trades ~5 GB HBM at B=128/304^2 for skipping the decoder
+        # forward recompute in the backward)
         dec_cls = (
             nn.remat(ResNestDecoder, static_argnums=(2,))
-            if self.remat_blocks else ResNestDecoder
+            if self.remat_blocks is True else ResNestDecoder
         )
         self.upsampling_0 = Upsampling(64, 64, name="upsampling_0")
         self.decoder_0 = dec_cls(64, 32, bn_axis_name=ax, name="decoder_0")

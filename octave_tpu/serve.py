@@ -112,6 +112,15 @@ class Predictor:
                 else:
                     self.variables = jax.device_put(self.variables)
 
+        if mesh is None:
+            # Commit the weights to device ONCE regardless of source: loaders
+            # (orbax, weights304.npz, torch converter) hand back host numpy
+            # leaves, and params ride every jitted call as arguments — host
+            # leaves would re-upload ~143 MB over the relay on EACH call
+            # (measured 2.8 s/call for the bf16 path, serve_latency.json
+            # round-4 pre-fix rows; the int8-prepack path already committed).
+            self.variables = jax.device_put(self.variables)
+
         def fwd(params, image):
             if jnp.issubdtype(image.dtype, jnp.integer):
                 # uint8 wire format: 4x smaller host->device uploads; the

@@ -103,6 +103,9 @@ class StepConfig:
     #             own region, only inter-block residuals stay live); the
     #             step itself adds no outer checkpoint. The Trainer wires
     #             this automatically from config train.remat='block'.
+    #   'block-enc' — backbone Bottlenecks only; decoder activations stay
+    #             saved (skips the decoder forward recompute in the
+    #             backward at ~5 GB extra HBM @ B=128/304²)
     #   'conv'  — selective: one region saving exactly the conv outputs
     #             (checkpoint_name anchors in models/resnest.py). Crashes
     #             the v5e relay compiler at every batch size (recorded in
@@ -229,8 +232,8 @@ def make_train_step(
                 _seg_forward,
                 policy=jax.checkpoint_policies.save_only_these_names("conv_out"),
             )
-        elif cfg.remat == "block":
-            pass  # the segmentor itself was built with remat_blocks=True
+        elif cfg.remat in ("block", "block-enc"):
+            pass  # the segmentor itself was built with remat_blocks set
         elif cfg.remat:
             # full remat: trade FLOPs for HBM — the whole forward is
             # recomputed in the backward

@@ -60,7 +60,11 @@ class Trainer:
 
         # --- segmentor family by config (every documented architecture
         # trains through the same step; VERDICT r2 item 1) ---------------
-        remat_blocks = cfg.train.remat == "block"
+        # 'block' → remat every Bottleneck + decoder stage;
+        # 'block-enc' → backbone only (decoder activations stay saved)
+        remat_blocks = (True if cfg.train.remat == "block"
+                        else "encoder" if cfg.train.remat == "block-enc"
+                        else False)
         if m.architecture == "unet":
             self.segmentor = ResnestUNet(
                 num_classes=m.num_classes,
