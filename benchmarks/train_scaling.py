@@ -40,10 +40,9 @@ def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5,
         "mask_pyramid": mask_pyramid(mask_to_onehot(mask, 2), 4),
     }
 
-    seg = ResnestUNet(num_classes=2,
-                      remat_blocks=(True if remat == "block"
-                                    else "encoder" if remat == "block-enc"
-                                    else False))
+    from octave_tpu.train.trainer import _parse_remat_blocks
+
+    seg = ResnestUNet(num_classes=2, remat_blocks=_parse_remat_blocks(remat))
     disc = DiscriminatorBlock(input_hw=(hw, hw), depth=4)
     key = jax.random.PRNGKey(0)
     seg_vars = seg.init(key, batch_d["image"][:1].astype(jnp.float32), False)

@@ -175,11 +175,16 @@ class ResnestUNet(nn.Module):
         # remat_blocks=True remats encoder Bottlenecks AND decoder stages;
         # 'encoder' remats only the backbone (decoder activations stay
         # saved — trades ~5 GB HBM at B=128/304^2 for skipping the decoder
-        # forward recompute in the backward)
-        dec_cls = (
-            nn.remat(ResNestDecoder, static_argnums=(2,))
-            if self.remat_blocks is True else ResNestDecoder
-        )
+        # forward recompute in the backward); a set/tuple of indices remats
+        # exactly those decoder stages (encoder always remated) — stage i
+        # runs at (304/2^i)^2 spatial, so high-res stages are the HBM-
+        # expensive ones to leave un-remated
+        def dec_cls(i):
+            r = self.remat_blocks
+            if r is True or (isinstance(r, (tuple, list, set, frozenset))
+                             and i in r):
+                return nn.remat(ResNestDecoder, static_argnums=(2,))
+            return ResNestDecoder
 
         if self.encoder_gating:
             self.encoder_0_gate = _EncoderGate(name="encoder_0_gate")
@@ -189,23 +194,23 @@ class ResnestUNet(nn.Module):
             self.encoder_4_gate = _EncoderGate(name="encoder_4_gate")
 
         self.upsampling_0 = Upsampling(64, 64, name="upsampling_0")
-        self.decoder_0 = dec_cls(64, 32, bn_axis_name=ax, name="decoder_0")
+        self.decoder_0 = dec_cls(0)(64, 32, bn_axis_name=ax, name="decoder_0")
         self.aag_0 = AdversarialAttentionGate(32, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_0")
 
         self.upsampling_1 = Upsampling(256, 64, name="upsampling_1")
-        self.decoder_1 = dec_cls(128, 64, bn_axis_name=ax, name="decoder_1")
+        self.decoder_1 = dec_cls(1)(128, 64, bn_axis_name=ax, name="decoder_1")
         self.aag_1 = AdversarialAttentionGate(64, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_1")
 
         self.upsampling_2 = Upsampling(512, 256, name="upsampling_2")
-        self.decoder_2 = dec_cls(512, 256, bn_axis_name=ax, name="decoder_2")
+        self.decoder_2 = dec_cls(2)(512, 256, bn_axis_name=ax, name="decoder_2")
         self.aag_2 = AdversarialAttentionGate(256, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_2")
 
         self.upsampling_3 = Upsampling(1024, 512, name="upsampling_3")
-        self.decoder_3 = dec_cls(1024, 512, bn_axis_name=ax, name="decoder_3")
+        self.decoder_3 = dec_cls(3)(1024, 512, bn_axis_name=ax, name="decoder_3")
         self.aag_3 = AdversarialAttentionGate(512, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_3")
 
         self.upsampling_4 = Upsampling(2048, 1024, name="upsampling_4")
-        self.decoder_4 = dec_cls(2048, 1024, bn_axis_name=ax, name="decoder_4")
+        self.decoder_4 = dec_cls(4)(2048, 1024, bn_axis_name=ax, name="decoder_4")
         self.aag_4 = AdversarialAttentionGate(1024, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_4")
 
         self.fc = Conv(self.num_classes, 1, 1, 0, name="fc")
@@ -355,26 +360,31 @@ class ResnestUnetParallelHead(nn.Module):
         # remat_blocks=True remats encoder Bottlenecks AND decoder stages;
         # 'encoder' remats only the backbone (decoder activations stay
         # saved — trades ~5 GB HBM at B=128/304^2 for skipping the decoder
-        # forward recompute in the backward)
-        dec_cls = (
-            nn.remat(ResNestDecoder, static_argnums=(2,))
-            if self.remat_blocks is True else ResNestDecoder
-        )
+        # forward recompute in the backward); a set/tuple of indices remats
+        # exactly those decoder stages (encoder always remated) — stage i
+        # runs at (304/2^i)^2 spatial, so high-res stages are the HBM-
+        # expensive ones to leave un-remated
+        def dec_cls(i):
+            r = self.remat_blocks
+            if r is True or (isinstance(r, (tuple, list, set, frozenset))
+                             and i in r):
+                return nn.remat(ResNestDecoder, static_argnums=(2,))
+            return ResNestDecoder
         self.upsampling_0 = Upsampling(64, 64, name="upsampling_0")
-        self.decoder_0 = dec_cls(64, 32, bn_axis_name=ax, name="decoder_0")
+        self.decoder_0 = dec_cls(0)(64, 32, bn_axis_name=ax, name="decoder_0")
         self.upsampling_1 = Upsampling(256, 64, name="upsampling_1")
-        self.decoder_1 = dec_cls(128, 64, bn_axis_name=ax, name="decoder_1")
+        self.decoder_1 = dec_cls(1)(128, 64, bn_axis_name=ax, name="decoder_1")
         self.upsampling_2 = Upsampling(512, 256, name="upsampling_2")
-        self.decoder_2 = dec_cls(512, 256, bn_axis_name=ax, name="decoder_2")
+        self.decoder_2 = dec_cls(2)(512, 256, bn_axis_name=ax, name="decoder_2")
         self.upsampling_3 = Upsampling(1024, 512, name="upsampling_3")
-        self.decoder_3 = dec_cls(1024, 512, bn_axis_name=ax, name="decoder_3")
+        self.decoder_3 = dec_cls(3)(1024, 512, bn_axis_name=ax, name="decoder_3")
         self.upsampling_4 = Upsampling(2048, 1024, name="upsampling_4")
-        self.decoder_4 = dec_cls(2048, 1024, bn_axis_name=ax, name="decoder_4")
+        self.decoder_4 = dec_cls(4)(2048, 1024, bn_axis_name=ax, name="decoder_4")
         # Parallel branch from x_1 (compose.py:279-285)
         self.upsampling_1_c = Upsampling(256, 64, name="upsampling_1_c")
-        self.decoder_1_c = dec_cls(128, 64, bn_axis_name=ax, name="decoder_1_c")
+        self.decoder_1_c = dec_cls(1)(128, 64, bn_axis_name=ax, name="decoder_1_c")
         self.upsampling_0_c = Upsampling(64, 64, name="upsampling_0_c")
-        self.decoder_0_c = dec_cls(64, 32, bn_axis_name=ax, name="decoder_0_c")
+        self.decoder_0_c = dec_cls(0)(64, 32, bn_axis_name=ax, name="decoder_0_c")
         self.fc = Conv(self.num_classes, 1, 1, 0, name="fc")
         self.fc_c = Conv(self.num_classes, 1, 1, 0, name="fc_c")
 
@@ -442,31 +452,36 @@ class ResnestUnetParallelHeadAttentionGate(nn.Module):
         # remat_blocks=True remats encoder Bottlenecks AND decoder stages;
         # 'encoder' remats only the backbone (decoder activations stay
         # saved — trades ~5 GB HBM at B=128/304^2 for skipping the decoder
-        # forward recompute in the backward)
-        dec_cls = (
-            nn.remat(ResNestDecoder, static_argnums=(2,))
-            if self.remat_blocks is True else ResNestDecoder
-        )
+        # forward recompute in the backward); a set/tuple of indices remats
+        # exactly those decoder stages (encoder always remated) — stage i
+        # runs at (304/2^i)^2 spatial, so high-res stages are the HBM-
+        # expensive ones to leave un-remated
+        def dec_cls(i):
+            r = self.remat_blocks
+            if r is True or (isinstance(r, (tuple, list, set, frozenset))
+                             and i in r):
+                return nn.remat(ResNestDecoder, static_argnums=(2,))
+            return ResNestDecoder
         self.upsampling_0 = Upsampling(64, 64, name="upsampling_0")
-        self.decoder_0 = dec_cls(64, 32, bn_axis_name=ax, name="decoder_0")
+        self.decoder_0 = dec_cls(0)(64, 32, bn_axis_name=ax, name="decoder_0")
         self.aag_0 = AdversarialAttentionGate(32, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_0")
         self.upsampling_1 = Upsampling(256, 64, name="upsampling_1")
-        self.decoder_1 = dec_cls(128, 64, bn_axis_name=ax, name="decoder_1")
+        self.decoder_1 = dec_cls(1)(128, 64, bn_axis_name=ax, name="decoder_1")
         self.aag_1 = AdversarialAttentionGate(64, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_1")
         self.upsampling_2 = Upsampling(512, 256, name="upsampling_2")
-        self.decoder_2 = dec_cls(512, 256, bn_axis_name=ax, name="decoder_2")
+        self.decoder_2 = dec_cls(2)(512, 256, bn_axis_name=ax, name="decoder_2")
         self.aag_2 = AdversarialAttentionGate(256, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_2")
         self.upsampling_3 = Upsampling(1024, 512, name="upsampling_3")
-        self.decoder_3 = dec_cls(1024, 512, bn_axis_name=ax, name="decoder_3")
+        self.decoder_3 = dec_cls(3)(1024, 512, bn_axis_name=ax, name="decoder_3")
         self.aag_3 = AdversarialAttentionGate(512, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_3")
         self.upsampling_4 = Upsampling(2048, 1024, name="upsampling_4")
-        self.decoder_4 = dec_cls(2048, 1024, bn_axis_name=ax, name="decoder_4")
+        self.decoder_4 = dec_cls(4)(2048, 1024, bn_axis_name=ax, name="decoder_4")
         self.aag_4 = AdversarialAttentionGate(1024, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_4")
         self.upsampling_1_c = Upsampling(256, 64, name="upsampling_1_c")
-        self.decoder_1_c = dec_cls(128, 64, bn_axis_name=ax, name="decoder_1_c")
+        self.decoder_1_c = dec_cls(1)(128, 64, bn_axis_name=ax, name="decoder_1_c")
         self.aag_1_c = AdversarialAttentionGate(64, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_1_c")
         self.upsampling_0_c = Upsampling(64, 64, name="upsampling_0_c")
-        self.decoder_0_c = dec_cls(64, 32, bn_axis_name=ax, name="decoder_0_c")
+        self.decoder_0_c = dec_cls(0)(64, 32, bn_axis_name=ax, name="decoder_0_c")
         self.aag_0_c = AdversarialAttentionGate(32, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_0_c")
         self.fc = Conv(self.num_classes, 1, 1, 0, name="fc")
         self.fc_c = Conv(self.num_classes, 1, 1, 0, name="fc_c")

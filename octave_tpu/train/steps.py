@@ -106,6 +106,13 @@ class StepConfig:
     #   'block-enc' — backbone Bottlenecks only; decoder activations stay
     #             saved (skips the decoder forward recompute in the
     #             backward at ~5 GB extra HBM @ B=128/304²)
+    #   'block:<idx>' — backbone Bottlenecks + exactly the decoder stages
+    #             named by the digit string (e.g. 'block:012' remats stages
+    #             0-2; stages 3-4 stay saved). Stage i runs at (H/2^i)²
+    #             spatial, so leaving the LOW-res stages un-remated skips
+    #             their recompute at small HBM cost — measured best at
+    #             B=128/304²: 'block:012' k=2 → 190.6 img/s vs 184.8 for
+    #             'block' (train_scaling.json)
     #   'conv'  — selective: one region saving exactly the conv outputs
     #             (checkpoint_name anchors in models/resnest.py). Crashes
     #             the v5e relay compiler at every batch size (recorded in
@@ -232,7 +239,9 @@ def make_train_step(
                 _seg_forward,
                 policy=jax.checkpoint_policies.save_only_these_names("conv_out"),
             )
-        elif cfg.remat in ("block", "block-enc"):
+        elif cfg.remat in ("block", "block-enc") or (
+            isinstance(cfg.remat, str) and cfg.remat.startswith("block:")
+        ):
             pass  # the segmentor itself was built with remat_blocks set
         elif cfg.remat:
             # full remat: trade FLOPs for HBM — the whole forward is

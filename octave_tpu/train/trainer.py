@@ -31,6 +31,23 @@ from octave_tpu.utils.profiling import StepTimer
 log = logging.getLogger("octave_tpu")
 
 
+def _parse_remat_blocks(remat) -> object:
+    """train.remat → the segmentors' remat_blocks field: 'block' → True,
+    'block-enc' → 'encoder', 'block:<digits>' → that set of decoder stage
+    indices (backbone always remated); anything else → False (the step-
+    level remat modes False/True/'conv' need no model-side wiring)."""
+    if remat == "block":
+        return True
+    if remat == "block-enc":
+        return "encoder"
+    if isinstance(remat, str) and remat.startswith("block:"):
+        idx = frozenset(int(c) for c in remat[len("block:"):])
+        if not idx or not idx <= {0, 1, 2, 3, 4}:
+            raise ValueError(f"remat {remat!r}: decoder indices must be 0-4")
+        return idx
+    return False
+
+
 def build_dataset(cfg: Config, split: str = "train"):
     d = cfg.data
     # the dual-decoder variants take per-head targets (ROSE thick/thin)
@@ -61,10 +78,9 @@ class Trainer:
         # --- segmentor family by config (every documented architecture
         # trains through the same step; VERDICT r2 item 1) ---------------
         # 'block' → remat every Bottleneck + decoder stage;
-        # 'block-enc' → backbone only (decoder activations stay saved)
-        remat_blocks = (True if cfg.train.remat == "block"
-                        else "encoder" if cfg.train.remat == "block-enc"
-                        else False)
+        # 'block-enc' → backbone only (decoder activations stay saved);
+        # 'block:012' → backbone + exactly decoder stages {0,1,2}
+        remat_blocks = _parse_remat_blocks(cfg.train.remat)
         if m.architecture == "unet":
             self.segmentor = ResnestUNet(
                 num_classes=m.num_classes,

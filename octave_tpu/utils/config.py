@@ -86,7 +86,8 @@ class TrainConfig:
     profile_dir: Optional[str] = None
     log_dir: Optional[str] = None
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16'
-    # False | True (full) | 'conv' (selective: save conv outputs only) —
+    # False | True (full) | 'conv' (save conv outputs only) | 'block' |
+    # 'block-enc' | 'block:<decoder stage indices>' (e.g. 'block:012') —
     # see train/steps.py StepConfig.remat
     remat: Any = False
     # None | 'decoder' | 'all': lower grouped convs dense in the TRAIN graph

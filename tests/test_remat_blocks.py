@@ -120,6 +120,42 @@ def test_unet_remat_blocks_equivalent():
     assert _grad_rel_l2(g0, g1) < 0.05
 
 
+def test_parse_remat_blocks():
+    from octave_tpu.train.trainer import _parse_remat_blocks
+
+    assert _parse_remat_blocks("block") is True
+    assert _parse_remat_blocks("block-enc") == "encoder"
+    assert _parse_remat_blocks("block:012") == frozenset({0, 1, 2})
+    assert _parse_remat_blocks("block:4") == frozenset({4})
+    assert _parse_remat_blocks(False) is False
+    assert _parse_remat_blocks(True) is False  # step-level remat, no model wiring
+    assert _parse_remat_blocks("conv") is False
+    with pytest.raises(ValueError):
+        _parse_remat_blocks("block:")
+    with pytest.raises(ValueError):
+        _parse_remat_blocks("block:05")
+
+
+def test_unet_remat_stage_subset_equivalent():
+    """remat_blocks as a stage-index set: same param tree, same forward
+    values (nn.remat is value-preserving), decoder stages outside the set
+    stay un-remated."""
+    m0 = ResnestUNet(num_classes=2, remat_blocks="encoder")
+    m1 = ResnestUNet(num_classes=2, remat_blocks=frozenset({0, 1, 2}))
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (1, 32, 32, 3)), jnp.float32
+    )
+    v0 = m0.init(jax.random.PRNGKey(0), x, True)
+    assert jax.tree.structure(v0) == jax.tree.structure(
+        m1.init(jax.random.PRNGKey(0), x, True)
+    )
+    (a0, agg0, _), _ = m0.apply(v0, x, True, mutable=["batch_stats"])
+    (a1, agg1, _), _ = m1.apply(v0, x, True, mutable=["batch_stats"])
+    assert bool(jnp.all(agg0 == agg1))
+    for p0, p1 in zip(a0, a1):
+        assert bool(jnp.all(p0 == p1))
+
+
 @pytest.mark.slow
 def test_train_step_remat_block_runs():
     from octave_tpu.data.preprocess import (
