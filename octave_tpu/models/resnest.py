@@ -468,11 +468,20 @@ class ResNeSt(nn.Module):
     # measured: it saves just 0.78 GB of 15.26 GB at B=64/304²
     # (benchmarks/train_scaling.json memory_analysis rows).
     remat_blocks: bool = False
+    # with remat_blocks: each Bottleneck region saves its conv outputs (the
+    # 'conv_out' anchors below), so its backward recomputes only the
+    # elementwise/norm chain — never a convolution
+    remat_save_convs: bool = False
 
     def setup(self):
         cfg = self.config
+        rkw = {}
+        if self.remat_save_convs:
+            rkw["policy"] = jax.checkpoint_policies.save_only_these_names(
+                "conv_out"
+            )
         blk_cls = (
-            nn.remat(Bottleneck, static_argnums=(2,))
+            nn.remat(Bottleneck, static_argnums=(2,), **rkw)
             if self.remat_blocks else Bottleneck
         )
         kinit = resnet_conv_init()

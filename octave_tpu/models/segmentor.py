@@ -108,6 +108,27 @@ class _EncoderGate(nn.Module):
         return jax.nn.softmax(g, axis=-1)
 
 
+def _decoder_cls_factory(remat_blocks, save_convs: bool):
+    """Per-stage decoder remat selector shared by all segmentor variants.
+
+    remat_blocks True → every stage remated; a set/tuple of indices → only
+    those stages (the backbone handles its own gating). save_convs adds a
+    jax.checkpoint policy saving the 'conv_out' anchors, so the backward of
+    a remated stage recomputes only elementwise/norm ops, never a conv."""
+    kw = {}
+    if save_convs:
+        kw["policy"] = jax.checkpoint_policies.save_only_these_names("conv_out")
+
+    def dec_cls(i):
+        r = remat_blocks
+        if r is True or (isinstance(r, (tuple, list, set, frozenset))
+                         and i in r):
+            return nn.remat(ResNestDecoder, static_argnums=(2,), **kw)
+        return ResNestDecoder
+
+    return dec_cls
+
+
 def _pad_odd(x: jax.Array) -> Tuple[jax.Array, bool, bool]:
     """Static pad of odd H/W to even (compose.py:125-130)."""
     down = x.shape[1] % 2 == 1
@@ -167,11 +188,18 @@ class ResnestUNet(nn.Module):
     # parameter tree is unchanged (nn.remat is a lifted transform).
     # 'encoder' (StepConfig.remat='block-enc') remats the backbone only.
     remat_blocks: object = False
+    # with remat_blocks: each region saves its conv outputs ('conv_out'
+    # checkpoint_name anchors), so the backward recomputes only the cheap
+    # elementwise/norm chain between convs, never a convolution
+    # (StepConfig.remat='block+conv' / 'block:<idx>+conv')
+    remat_save_convs: bool = False
 
     def setup(self):
         ax = self.bn_axis_name
         self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax,
-                                remat_blocks=self.remat_blocks, name="backbone")
+                                remat_blocks=self.remat_blocks,
+                                remat_save_convs=self.remat_save_convs,
+                                name="backbone")
         # remat_blocks=True remats encoder Bottlenecks AND decoder stages;
         # 'encoder' remats only the backbone (decoder activations stay
         # saved — trades ~5 GB HBM at B=128/304^2 for skipping the decoder
@@ -179,12 +207,7 @@ class ResnestUNet(nn.Module):
         # exactly those decoder stages (encoder always remated) — stage i
         # runs at (304/2^i)^2 spatial, so high-res stages are the HBM-
         # expensive ones to leave un-remated
-        def dec_cls(i):
-            r = self.remat_blocks
-            if r is True or (isinstance(r, (tuple, list, set, frozenset))
-                             and i in r):
-                return nn.remat(ResNestDecoder, static_argnums=(2,))
-            return ResNestDecoder
+        dec_cls = _decoder_cls_factory(self.remat_blocks, self.remat_save_convs)
 
         if self.encoder_gating:
             self.encoder_0_gate = _EncoderGate(name="encoder_0_gate")
@@ -352,24 +375,16 @@ class ResnestUnetParallelHead(nn.Module):
     num_classes: int
     bn_axis_name: Optional[str] = None
     remat_blocks: object = False  # see ResnestUNet.remat_blocks
+    remat_save_convs: bool = False  # see ResnestUNet.remat_save_convs
 
     def setup(self):
         ax = self.bn_axis_name
         self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax,
-                                remat_blocks=self.remat_blocks, name="backbone")
-        # remat_blocks=True remats encoder Bottlenecks AND decoder stages;
-        # 'encoder' remats only the backbone (decoder activations stay
-        # saved — trades ~5 GB HBM at B=128/304^2 for skipping the decoder
-        # forward recompute in the backward); a set/tuple of indices remats
-        # exactly those decoder stages (encoder always remated) — stage i
-        # runs at (304/2^i)^2 spatial, so high-res stages are the HBM-
-        # expensive ones to leave un-remated
-        def dec_cls(i):
-            r = self.remat_blocks
-            if r is True or (isinstance(r, (tuple, list, set, frozenset))
-                             and i in r):
-                return nn.remat(ResNestDecoder, static_argnums=(2,))
-            return ResNestDecoder
+                                remat_blocks=self.remat_blocks,
+                                remat_save_convs=self.remat_save_convs,
+                                name="backbone")
+        # see ResnestUNet.setup for the remat_blocks semantics
+        dec_cls = _decoder_cls_factory(self.remat_blocks, self.remat_save_convs)
         self.upsampling_0 = Upsampling(64, 64, name="upsampling_0")
         self.decoder_0 = dec_cls(0)(64, 32, bn_axis_name=ax, name="decoder_0")
         self.upsampling_1 = Upsampling(256, 64, name="upsampling_1")
@@ -444,24 +459,16 @@ class ResnestUnetParallelHeadAttentionGate(nn.Module):
     use_pallas_aag: bool = False
     use_fused_decoder: bool = False  # eval-only fused decoder tail + AAG
     remat_blocks: object = False  # see ResnestUNet.remat_blocks
+    remat_save_convs: bool = False  # see ResnestUNet.remat_save_convs
 
     def setup(self):
         ax = self.bn_axis_name
         self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax,
-                                remat_blocks=self.remat_blocks, name="backbone")
-        # remat_blocks=True remats encoder Bottlenecks AND decoder stages;
-        # 'encoder' remats only the backbone (decoder activations stay
-        # saved — trades ~5 GB HBM at B=128/304^2 for skipping the decoder
-        # forward recompute in the backward); a set/tuple of indices remats
-        # exactly those decoder stages (encoder always remated) — stage i
-        # runs at (304/2^i)^2 spatial, so high-res stages are the HBM-
-        # expensive ones to leave un-remated
-        def dec_cls(i):
-            r = self.remat_blocks
-            if r is True or (isinstance(r, (tuple, list, set, frozenset))
-                             and i in r):
-                return nn.remat(ResNestDecoder, static_argnums=(2,))
-            return ResNestDecoder
+                                remat_blocks=self.remat_blocks,
+                                remat_save_convs=self.remat_save_convs,
+                                name="backbone")
+        # see ResnestUNet.setup for the remat_blocks semantics
+        dec_cls = _decoder_cls_factory(self.remat_blocks, self.remat_save_convs)
         self.upsampling_0 = Upsampling(64, 64, name="upsampling_0")
         self.decoder_0 = dec_cls(0)(64, 32, bn_axis_name=ax, name="decoder_0")
         self.aag_0 = AdversarialAttentionGate(32, self.num_classes, use_pallas=self.use_pallas_aag, name="aag_0")

@@ -239,10 +239,11 @@ def make_train_step(
                 _seg_forward,
                 policy=jax.checkpoint_policies.save_only_these_names("conv_out"),
             )
-        elif cfg.remat in ("block", "block-enc") or (
-            isinstance(cfg.remat, str) and cfg.remat.startswith("block:")
-        ):
-            pass  # the segmentor itself was built with remat_blocks set
+        elif isinstance(cfg.remat, str) and cfg.remat.startswith("block"):
+            # 'block' / 'block-enc' / 'block:<idx>' / '...+conv': the
+            # segmentor itself was built with remat_blocks (and optionally
+            # remat_save_convs) set — the step adds no outer checkpoint
+            pass
         elif cfg.remat:
             # full remat: trade FLOPs for HBM — the whole forward is
             # recomputed in the backward

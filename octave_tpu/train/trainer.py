@@ -35,7 +35,10 @@ def _parse_remat_blocks(remat) -> object:
     """train.remat → the segmentors' remat_blocks field: 'block' → True,
     'block-enc' → 'encoder', 'block:<digits>' → that set of decoder stage
     indices (backbone always remated); anything else → False (the step-
-    level remat modes False/True/'conv' need no model-side wiring)."""
+    level remat modes False/True/'conv' need no model-side wiring).
+    A '+conv' suffix (see _remat_saves_convs) is accepted and stripped."""
+    if isinstance(remat, str) and remat.endswith("+conv"):
+        remat = remat[: -len("+conv")]
     if remat == "block":
         return True
     if remat == "block-enc":
@@ -45,7 +48,18 @@ def _parse_remat_blocks(remat) -> object:
         if not idx or not idx <= {0, 1, 2, 3, 4}:
             raise ValueError(f"remat {remat!r}: decoder indices must be 0-4")
         return idx
+    if isinstance(remat, str) and remat.startswith("block"):
+        raise ValueError(f"unknown remat mode {remat!r}")
     return False
+
+
+def _remat_saves_convs(remat) -> bool:
+    """'+conv' suffix on a block remat mode ('block+conv', 'block:012+conv'):
+    each checkpoint region saves its conv outputs, so the backward recomputes
+    only the elementwise/norm chain between convs (models' remat_save_convs
+    field)."""
+    return isinstance(remat, str) and remat.startswith("block") \
+        and remat.endswith("+conv")
 
 
 def build_dataset(cfg: Config, split: str = "train"):
@@ -81,6 +95,7 @@ class Trainer:
         # 'block-enc' → backbone only (decoder activations stay saved);
         # 'block:012' → backbone + exactly decoder stages {0,1,2}
         remat_blocks = _parse_remat_blocks(cfg.train.remat)
+        remat_convs = _remat_saves_convs(cfg.train.remat)
         if m.architecture == "unet":
             self.segmentor = ResnestUNet(
                 num_classes=m.num_classes,
@@ -88,6 +103,7 @@ class Trainer:
                 encoder_gating=m.encoder_gating,
                 bn_axis_name=axis,
                 remat_blocks=remat_blocks,
+                remat_save_convs=remat_convs,
             )
             # pyramid: gates at decoder depths d with gl >= d, d in 4..0
             pyr_levels = {"main": min(gl, 4) + 1}
@@ -95,12 +111,14 @@ class Trainer:
             self.segmentor = ResnestUnetParallelHead(
                 num_classes=m.num_classes, bn_axis_name=axis,
                 remat_blocks=remat_blocks,
+                remat_save_convs=remat_convs,
             )
             pyr_levels = {}  # no attention pyramid → no adversarial branch
         elif m.architecture == "parallel_head_gate":
             self.segmentor = ResnestUnetParallelHeadAttentionGate(
                 num_classes=m.num_classes, gating_level=gl, bn_axis_name=axis,
                 remat_blocks=remat_blocks,
+                remat_save_convs=remat_convs,
             )
             # depth-4 gate is strict `> 3` (segmentor.py:468); the c branch
             # gates depths 1 and 0 only

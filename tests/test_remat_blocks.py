@@ -130,10 +130,50 @@ def test_parse_remat_blocks():
     assert _parse_remat_blocks(False) is False
     assert _parse_remat_blocks(True) is False  # step-level remat, no model wiring
     assert _parse_remat_blocks("conv") is False
+    assert _parse_remat_blocks("block+conv") is True
+    assert _parse_remat_blocks("block:034+conv") == frozenset({0, 3, 4})
     with pytest.raises(ValueError):
         _parse_remat_blocks("block:")
     with pytest.raises(ValueError):
         _parse_remat_blocks("block:05")
+    with pytest.raises(ValueError):
+        _parse_remat_blocks("blockx")
+
+    from octave_tpu.train.trainer import _remat_saves_convs
+
+    assert _remat_saves_convs("block+conv") is True
+    assert _remat_saves_convs("block:012+conv") is True
+    assert _remat_saves_convs("block") is False
+    assert _remat_saves_convs("conv") is False
+    assert _remat_saves_convs(False) is False
+
+
+def test_decoder_remat_save_convs_bit_exact():
+    """The save-conv-outputs policy inside a remat region changes WHAT the
+    backward recomputes, never the values: forward and grads stay exactly
+    equal to the plain decoder."""
+    d0 = ResNestDecoder(128, 64)
+    d1 = nn.remat(
+        ResNestDecoder, static_argnums=(2,),
+        policy=jax.checkpoint_policies.save_only_these_names("conv_out"),
+    )(128, 64)
+    rng = np.random.default_rng(2)
+    inp = (
+        jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 64)), jnp.float32),
+        jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 64)), jnp.float32),
+    )
+    v = d0.init(jax.random.PRNGKey(0), inp, True)
+    o0, _ = d0.apply(v, inp, True, mutable=["batch_stats"])
+    o1, _ = d1.apply(v, inp, True, mutable=["batch_stats"])
+    assert bool(jnp.all(o0 == o1))
+
+    def loss(d, p):
+        out, _ = d.apply({**v, "params": p}, inp, True, mutable=["batch_stats"])
+        return (out**2).sum()
+
+    g0 = jax.grad(lambda p: loss(d0, p))(v["params"])
+    g1 = jax.grad(lambda p: loss(d1, p))(v["params"])
+    assert jax.tree.all(jax.tree.map(lambda a, b: bool(jnp.all(a == b)), g0, g1))
 
 
 def test_unet_remat_stage_subset_equivalent():
