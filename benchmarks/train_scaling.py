@@ -40,10 +40,13 @@ def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5,
         "mask_pyramid": mask_pyramid(mask_to_onehot(mask, 2), 4),
     }
 
-    from octave_tpu.train.trainer import _parse_remat_blocks, _remat_saves_convs
+    from octave_tpu.train.trainer import (_parse_remat_blocks,
+                                          _parse_remat_enc_layers,
+                                          _remat_saves_convs)
 
     seg = ResnestUNet(num_classes=2, remat_blocks=_parse_remat_blocks(remat),
-                      remat_save_convs=_remat_saves_convs(remat))
+                      remat_save_convs=_remat_saves_convs(remat),
+                      remat_enc_layers=_parse_remat_enc_layers(remat))
     disc = DiscriminatorBlock(input_hw=(hw, hw), depth=4)
     key = jax.random.PRNGKey(0)
     seg_vars = seg.init(key, batch_d["image"][:1].astype(jnp.float32), False)

@@ -472,6 +472,13 @@ class ResNeSt(nn.Module):
     # 'conv_out' anchors below), so its backward recomputes only the
     # elementwise/norm chain — never a convolution
     remat_save_convs: bool = False
+    # with remat_blocks: which encoder layers (1-based, 1..4) get remated
+    # Bottlenecks. True = all (the default). A set of indices leaves the
+    # other layers' activations saved — their backward skips the forward
+    # recompute, the same trade the decoder makes per stage
+    # (segmentor.py remat_blocks index sets). Low-res layers 3-4 (19²/10²
+    # at 304² input) are the cheap-to-save candidates.
+    remat_layers: object = True
 
     def setup(self):
         cfg = self.config
@@ -480,10 +487,16 @@ class ResNeSt(nn.Module):
             rkw["policy"] = jax.checkpoint_policies.save_only_these_names(
                 "conv_out"
             )
-        blk_cls = (
-            nn.remat(Bottleneck, static_argnums=(2,), **rkw)
-            if self.remat_blocks else Bottleneck
-        )
+
+        def layer_blk_cls(li1: int):
+            """Block class for 1-based encoder layer li1."""
+            if not self.remat_blocks:
+                return Bottleneck
+            rl = self.remat_layers
+            if rl is True or (isinstance(rl, (tuple, list, set, frozenset))
+                              and li1 in rl):
+                return nn.remat(Bottleneck, static_argnums=(2,), **rkw)
+            return Bottleneck
         kinit = resnet_conv_init()
         self.inplanes0 = cfg.stem_width * 2 if cfg.deep_stem else 64
         if cfg.deep_stem:
@@ -510,6 +523,7 @@ class ResNeSt(nn.Module):
         inplanes = self.inplanes0
         stages: List[List[Bottleneck]] = []
         for li, (planes, blocks) in enumerate(zip((64, 128, 256, 512), cfg.layers)):
+            blk_cls = layer_blk_cls(li + 1)
             stride, dil = strides[li], dilations[li]
             is_first = li != 0  # _make_layer called with is_first=False only for layer1
             first_dil = 1 if dil in (1, 2) else 2

@@ -193,12 +193,17 @@ class ResnestUNet(nn.Module):
     # elementwise/norm chain between convs, never a convolution
     # (StepConfig.remat='block+conv' / 'block:<idx>+conv')
     remat_save_convs: bool = False
+    # with remat_blocks: which encoder layers (1-based 1..4) stay remated;
+    # True = all. StepConfig.remat='block:<dec>e<enc>' — see
+    # models/resnest.py::ResNeSt.remat_layers
+    remat_enc_layers: object = True
 
     def setup(self):
         ax = self.bn_axis_name
         self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax,
                                 remat_blocks=self.remat_blocks,
                                 remat_save_convs=self.remat_save_convs,
+                                remat_layers=self.remat_enc_layers,
                                 name="backbone")
         # remat_blocks=True remats encoder Bottlenecks AND decoder stages;
         # 'encoder' remats only the backbone (decoder activations stay
@@ -382,6 +387,7 @@ class ResnestUnetParallelHead(nn.Module):
         self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax,
                                 remat_blocks=self.remat_blocks,
                                 remat_save_convs=self.remat_save_convs,
+                                remat_layers=self.remat_enc_layers,
                                 name="backbone")
         # see ResnestUNet.setup for the remat_blocks semantics
         dec_cls = _decoder_cls_factory(self.remat_blocks, self.remat_save_convs)
@@ -466,6 +472,7 @@ class ResnestUnetParallelHeadAttentionGate(nn.Module):
         self.backbone = ResNeSt(config=resnest50().config, bn_axis_name=ax,
                                 remat_blocks=self.remat_blocks,
                                 remat_save_convs=self.remat_save_convs,
+                                remat_layers=self.remat_enc_layers,
                                 name="backbone")
         # see ResnestUNet.setup for the remat_blocks semantics
         dec_cls = _decoder_cls_factory(self.remat_blocks, self.remat_save_convs)

@@ -36,7 +36,8 @@ def _parse_remat_blocks(remat) -> object:
     'block-enc' → 'encoder', 'block:<digits>' → that set of decoder stage
     indices (backbone always remated); anything else → False (the step-
     level remat modes False/True/'conv' need no model-side wiring).
-    A '+conv' suffix (see _remat_saves_convs) is accepted and stripped."""
+    A '+conv' suffix (see _remat_saves_convs) is accepted and stripped, as
+    is an 'e<digits>' encoder part (see _parse_remat_enc_layers)."""
     if isinstance(remat, str) and remat.endswith("+conv"):
         remat = remat[: -len("+conv")]
     if remat == "block":
@@ -44,13 +45,36 @@ def _parse_remat_blocks(remat) -> object:
     if remat == "block-enc":
         return "encoder"
     if isinstance(remat, str) and remat.startswith("block:"):
-        idx = frozenset(int(c) for c in remat[len("block:"):])
+        dec = remat[len("block:"):].split("e", 1)[0]
+        idx = frozenset(int(c) for c in dec) if dec.isdigit() else frozenset()
         if not idx or not idx <= {0, 1, 2, 3, 4}:
             raise ValueError(f"remat {remat!r}: decoder indices must be 0-4")
         return idx
     if isinstance(remat, str) and remat.startswith("block"):
         raise ValueError(f"unknown remat mode {remat!r}")
     return False
+
+
+def _parse_remat_enc_layers(remat) -> object:
+    """Optional 'e<digits>' part of 'block:<dec>e<enc>[+conv]' → the
+    segmentors' remat_enc_layers field: which encoder layers (1-based 1..4)
+    stay remated; the rest keep their activations saved, so their backward
+    skips the forward recompute (the same per-stage trade the decoder
+    indices make). No 'e' part → True (all layers remated, the default).
+    E.g. 'block:012e12' = decoder stages {0,1,2} + encoder layers {1,2}
+    remated; decoder 3-4 and encoder 3-4 saved."""
+    if not (isinstance(remat, str) and remat.startswith("block:")):
+        return True
+    if remat.endswith("+conv"):
+        remat = remat[: -len("+conv")]
+    parts = remat[len("block:"):].split("e", 1)
+    if len(parts) == 1:
+        return True
+    enc = parts[1]
+    idx = frozenset(int(c) for c in enc) if enc.isdigit() else frozenset()
+    if not idx or not idx <= {1, 2, 3, 4}:
+        raise ValueError(f"remat {remat!r}: encoder layers must be 1-4")
+    return idx
 
 
 def _remat_saves_convs(remat) -> bool:
@@ -96,6 +120,7 @@ class Trainer:
         # 'block:012' → backbone + exactly decoder stages {0,1,2}
         remat_blocks = _parse_remat_blocks(cfg.train.remat)
         remat_convs = _remat_saves_convs(cfg.train.remat)
+        remat_enc = _parse_remat_enc_layers(cfg.train.remat)
         if m.architecture == "unet":
             self.segmentor = ResnestUNet(
                 num_classes=m.num_classes,
@@ -104,6 +129,7 @@ class Trainer:
                 bn_axis_name=axis,
                 remat_blocks=remat_blocks,
                 remat_save_convs=remat_convs,
+                remat_enc_layers=remat_enc,
             )
             # pyramid: gates at decoder depths d with gl >= d, d in 4..0
             pyr_levels = {"main": min(gl, 4) + 1}
@@ -112,6 +138,7 @@ class Trainer:
                 num_classes=m.num_classes, bn_axis_name=axis,
                 remat_blocks=remat_blocks,
                 remat_save_convs=remat_convs,
+                remat_enc_layers=remat_enc,
             )
             pyr_levels = {}  # no attention pyramid → no adversarial branch
         elif m.architecture == "parallel_head_gate":
@@ -119,6 +146,7 @@ class Trainer:
                 num_classes=m.num_classes, gating_level=gl, bn_axis_name=axis,
                 remat_blocks=remat_blocks,
                 remat_save_convs=remat_convs,
+                remat_enc_layers=remat_enc,
             )
             # depth-4 gate is strict `> 3` (segmentor.py:468); the c branch
             # gates depths 1 and 0 only

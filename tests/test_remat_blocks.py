@@ -176,6 +176,44 @@ def test_decoder_remat_save_convs_bit_exact():
     assert jax.tree.all(jax.tree.map(lambda a, b: bool(jnp.all(a == b)), g0, g1))
 
 
+def test_parse_remat_enc_layers():
+    from octave_tpu.train.trainer import _parse_remat_blocks, _parse_remat_enc_layers
+
+    assert _parse_remat_enc_layers("block") is True
+    assert _parse_remat_enc_layers("block:012") is True
+    assert _parse_remat_enc_layers("block:012e12") == frozenset({1, 2})
+    assert _parse_remat_enc_layers("block:01234e34+conv") == frozenset({3, 4})
+    assert _parse_remat_enc_layers(False) is True
+    assert _parse_remat_blocks("block:012e12") == frozenset({0, 1, 2})
+    assert _parse_remat_blocks("block:01234e34+conv") == frozenset({0, 1, 2, 3, 4})
+    with pytest.raises(ValueError):
+        _parse_remat_enc_layers("block:012e05")
+    with pytest.raises(ValueError):
+        _parse_remat_enc_layers("block:012e")
+    with pytest.raises(ValueError):
+        _parse_remat_blocks("block:e12")  # empty decoder part
+
+
+def test_unet_remat_enc_layer_subset_equivalent():
+    """remat_enc_layers as a layer-index set: same param tree, same forward
+    values; encoder layers outside the set keep plain Bottlenecks."""
+    m0 = ResnestUNet(num_classes=2, remat_blocks=True)
+    m1 = ResnestUNet(num_classes=2, remat_blocks=True,
+                     remat_enc_layers=frozenset({1, 2}))
+    x = jnp.asarray(
+        np.random.default_rng(3).uniform(0, 1, (1, 32, 32, 3)), jnp.float32
+    )
+    v0 = m0.init(jax.random.PRNGKey(0), x, True)
+    assert jax.tree.structure(v0) == jax.tree.structure(
+        m1.init(jax.random.PRNGKey(0), x, True)
+    )
+    (a0, agg0, _), _ = m0.apply(v0, x, True, mutable=["batch_stats"])
+    (a1, agg1, _), _ = m1.apply(v0, x, True, mutable=["batch_stats"])
+    assert bool(jnp.all(agg0 == agg1))
+    for p0, p1 in zip(a0, a1):
+        assert bool(jnp.all(p0 == p1))
+
+
 def test_unet_remat_stage_subset_equivalent():
     """remat_blocks as a stage-index set: same param tree, same forward
     values (nn.remat is value-preserving), decoder stages outside the set
