@@ -58,8 +58,10 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     out = open(os.path.join(here, "batch_server.json"), "a")
 
+    depth = int(os.environ.get("BS_PIPELINE", "2"))
     for batch, ks in ((16, (1,)), (16, (1, 2, 4)), (64, (1,)), (64, (1, 2, 4))):
-        srv = BatchServer(pred, batch=batch, image_hw=(hw, hw), ks=ks)
+        srv = BatchServer(pred, batch=batch, image_hw=(hw, hw), ks=ks,
+                          pipeline_depth=depth)
 
         # -- unloaded latency: one lone request at a time ---------------
         lat = []
@@ -80,6 +82,7 @@ def main() -> None:
 
         row = {
             "weights": weights, "batch": batch, "ks": list(ks),
+            "pipeline_depth": depth,
             "unloaded_ms": round(unloaded_ms, 3),
             "saturated_img_s": round(n / wall, 1),
         }

@@ -339,6 +339,16 @@ class BatchServer:
     — at k=1/batch=B a single request costs one full batch of device time,
     the price of static shapes; pick `batch` for the latency SLO and let k
     scale throughput.
+
+    Dispatch is PIPELINED (round 4): the worker thread stacks + dispatches
+    chunk i+1 (JAX dispatch and host->device upload are asynchronous) while
+    a resolver thread blocks on chunk i's device->host download and resolves
+    its futures. Serialized upload+compute+download becomes
+    max(upload, compute, download) in steady state — on the relay link,
+    where the wire dominates, this roughly doubles saturated throughput
+    (benchmarks/batch_server.json, pipelined rows). `pipeline_depth` bounds
+    in-flight dispatches (up to depth+1 stacks of device input+output
+    buffers live at once — raise it only with HBM headroom).
     """
 
     def __init__(
@@ -351,6 +361,7 @@ class BatchServer:
         wire_dtype=np.uint8,
         warmup: bool = True,
         max_queue: int = 4096,
+        pipeline_depth: int = 2,
     ):
         self.predictor = predictor
         self.batch = int(batch)
@@ -361,14 +372,23 @@ class BatchServer:
             raise ValueError(f"ks must be positive ints, got {ks!r}")
         self.wire_dtype = np.dtype(wire_dtype)
         self._shape = (*self.image_hw, self.channels)
+        if pipeline_depth < 1:
+            raise ValueError(f"pipeline_depth must be >= 1, got {pipeline_depth}")
+        self.pipeline_depth = int(pipeline_depth)
         if warmup:
             predictor.warmup(self.batch, self.image_hw, self.ks,
                              self.channels, self.wire_dtype)
         self._queue: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        # dispatched-but-unresolved chunks; bounded so a slow downlink
+        # backpressures the worker instead of piling device buffers
+        self._results: "queue.Queue" = queue.Queue(maxsize=self.pipeline_depth)
         self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="octave-batch-server")
+        self._resolver = threading.Thread(target=self._resolve, daemon=True,
+                                          name="octave-batch-resolver")
         self._worker.start()
+        self._resolver.start()
 
     # -- client side ----------------------------------------------------
     def submit(self, image: np.ndarray) -> Future:
@@ -392,12 +412,13 @@ class BatchServer:
         return fut
 
     def map(self, images: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
-        """Submit a stream and yield results in order (keeps up to one
-        full max-k window in flight)."""
+        """Submit a stream and yield results in order (keeps enough
+        requests pending to fill every pipeline slot's max-k stack, plus
+        one being assembled)."""
         from collections import deque
 
         pending: "deque[Future]" = deque()
-        depth = self.ks[-1] * self.batch * 2
+        depth = self.ks[-1] * self.batch * (self.pipeline_depth + 2)
         for img in images:
             while len(pending) >= depth:
                 yield pending.popleft().result()
@@ -406,12 +427,13 @@ class BatchServer:
             yield pending.popleft().result()
 
     def close(self) -> None:
-        """Drain outstanding requests, then stop the worker."""
+        """Drain outstanding requests, then stop the worker + resolver."""
         if self._closed:
             return
         self._closed = True
         self._queue.put(None)  # sentinel
-        self._worker.join()
+        self._worker.join()  # worker forwards the sentinel to the resolver
+        self._resolver.join()
 
     def __enter__(self):
         return self
@@ -461,15 +483,18 @@ class BatchServer:
                     flat = stack.reshape(k * self.batch, *self._shape)
                     for i, (img, _) in enumerate(chunk):
                         flat[i] = img
-                    out = self.predictor.predict_many(stack)
-                    out = out.reshape(k * self.batch, *out.shape[2:])
-                    for i, (_, fut) in enumerate(chunk):
-                        fut.set_result(out[i])
+                    # asynchronous: returns once the upload + execution are
+                    # ENQUEUED; the resolver blocks on the result while this
+                    # thread stacks and dispatches the next chunk
+                    out = self.predictor.predict_many_device(stack)
                 except Exception as e:  # surface the failure on every waiter
                     for _, fut in chunk:
                         if not fut.done():
                             fut.set_exception(e)
+                    continue
+                self._results.put((chunk, out))  # blocks at pipeline_depth
             if stop:
+                self._results.put(None)
                 # resolve anything enqueued after the sentinel raced in
                 while True:
                     try:
@@ -478,3 +503,21 @@ class BatchServer:
                         return
                     if nxt is not None:
                         nxt[1].set_exception(RuntimeError("BatchServer closed"))
+
+    def _resolve(self) -> None:
+        """Block on each dispatched chunk's device->host transfer and
+        resolve its futures, in dispatch order."""
+        while True:
+            item = self._results.get()
+            if item is None:
+                return
+            chunk, out = item
+            try:
+                arr = np.asarray(out)  # waits on compute + downlink
+                arr = arr.reshape(arr.shape[0] * arr.shape[1], *arr.shape[2:])
+                for i, (_, fut) in enumerate(chunk):
+                    fut.set_result(arr[i])
+            except Exception as e:
+                for _, fut in chunk:
+                    if not fut.done():
+                        fut.set_exception(e)

@@ -429,13 +429,25 @@ class Trainer:
             # step % every == 0 at kpc=1, robust when step advances by kpc
             return every > 0 and (step // every) > ((step - kpc) // every)
 
+        # Host-side step counter: reading `state.step` off the device every
+        # iteration would force a full sync per step, serializing host batch
+        # prep behind device compute. The count is deterministic (+kpc per
+        # call), so the host tracks it and lets JAX's async dispatch overlap
+        # the next batch's decode/augment/upload with the running step. The
+        # `inflight` deque bounds the run-ahead (each queued call pins its
+        # batch buffers on device) by blocking on the oldest step's losses.
+        from collections import deque
+
+        host_step = int(state.step)
+        ahead = max(0, int(cfg.train.dispatch_ahead))
+        inflight: deque = deque()
         try:
             for host_batch in it:
-                if int(state.step) >= cfg.train.steps:
+                if host_step >= cfg.train.steps:
                     break
                 if preempted["flag"]:
                     log.warning("SIGTERM received — saving and stopping at step %d",
-                                int(state.step))
+                                host_step)
                     break
                 aug_key = None
                 if cfg.data.augment:
@@ -443,9 +455,13 @@ class Trainer:
                 batch = self._device_batch(host_batch, augment_key=aug_key,
                                            stack_k=kpc)
                 state, losses = self.train_step(state, batch)
+                host_step += kpc
+                inflight.append(losses)
+                while len(inflight) > ahead:
+                    jax.block_until_ready(inflight.popleft())
                 timer.tick()
                 window.append(losses)
-                step = int(state.step)
+                step = host_step
                 if _crossed(step, cfg.train.log_every):
                     mean = {
                         k: float(np.mean([float(l[k]) for l in window]))
@@ -457,7 +473,8 @@ class Trainer:
                              "  ".join(f"{k}={v:.4f}" for k, v in mean.items()), ips)
                     if mlog is not None:
                         mlog.log(step,
-                                 {**mean, **timer.stats(cfg.data.batch_size * kpc)},
+                                 {**mean, "img_per_s_wall": ips,
+                                  **timer.stats(cfg.data.batch_size * kpc)},
                                  prefix="train/")
                     window, t0 = [], time.perf_counter()
                 if ckpt is not None and _crossed(step, cfg.train.checkpoint_every):

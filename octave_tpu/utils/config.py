@@ -78,6 +78,11 @@ class TrainConfig:
     # measured at B=128/304² on the v5e relay). log/eval/checkpoint cadence
     # is honored at call granularity; `steps` may overshoot by < this.
     steps_per_call: int = 1
+    # max dispatched-but-unfinished train calls the host runs ahead of the
+    # device (trainer.fit): overlaps next-batch decode/augment/upload with
+    # the running step. 0 = block on every step (the pre-r4 synchronous
+    # loop); each in-flight call pins one batch's buffers on device.
+    dispatch_ahead: int = 2
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 500
     seed: int = 0

@@ -137,6 +137,30 @@ class TestBatchServer:
         with pytest.raises(RuntimeError, match="closed"):
             srv.submit(np.zeros((32, 32, 3), np.uint8))
 
+    def test_pipelined_flood_results_correct(self, pred, rng):
+        # 37 requests with pipeline_depth=3: several chunks are in flight
+        # at once (worker dispatches i+1 while the resolver downloads i);
+        # every future must still resolve to its own image's direct output
+        imgs = [rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                for _ in range(37)]
+        with self._server(pred, pipeline_depth=3) as srv:
+            futs = [srv.submit(img) for img in imgs]
+            outs = [f.result(timeout=600) for f in futs]
+        direct = pred(np.stack(imgs[:2]))  # same graph, any 2 images
+        assert outs[0].shape == direct[0].shape
+        for img, out in zip(imgs, outs):
+            want = pred(np.stack([img, img]))[0]
+            np.testing.assert_allclose(out, want, atol=1e-5)
+
+    def test_pipeline_depth_one_and_validation(self, pred, rng):
+        img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        with self._server(pred, pipeline_depth=1) as srv:
+            out = srv.submit(img).result(timeout=600)
+        np.testing.assert_allclose(out, pred(np.stack([img, img]))[0],
+                                   atol=1e-5)
+        with pytest.raises(ValueError, match="pipeline_depth"):
+            self._server(pred, pipeline_depth=0)
+
     def test_pick_k_grows_with_backlog(self, pred):
         with self._server(pred, ks=(1, 2, 4)) as srv:
             assert srv._pick_k(1) == 1

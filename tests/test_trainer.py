@@ -97,6 +97,15 @@ class TestStepsPerCall:
         assert s2 is not None and int(s2.step) == 4
         mgr.close()
 
+    def test_fit_synchronous_dispatch(self, tmp_path):
+        # dispatch_ahead=0: the pre-pipelining loop (block on every step).
+        # Same steps/cadence semantics as the default run-ahead path.
+        from octave_tpu.train.trainer import Trainer
+
+        cfg = _tiny_cfg(tmp_path, **{"train.dispatch_ahead": 0})
+        state = Trainer(cfg).fit()
+        assert int(state.step) == 3
+
     # The full Trainer.fit at steps_per_call=2 over a mesh is NOT tested
     # end-to-end here: shard_map x k=2 x the fixed resnest50 graph takes
     # hours to compile on a 1-CPU host (XLA CPU SPMD), starving the suite.
