@@ -381,6 +381,7 @@ class ResnestUnetParallelHead(nn.Module):
     bn_axis_name: Optional[str] = None
     remat_blocks: object = False  # see ResnestUNet.remat_blocks
     remat_save_convs: bool = False  # see ResnestUNet.remat_save_convs
+    remat_enc_layers: object = True  # see ResnestUNet.remat_enc_layers
 
     def setup(self):
         ax = self.bn_axis_name
@@ -466,6 +467,7 @@ class ResnestUnetParallelHeadAttentionGate(nn.Module):
     use_fused_decoder: bool = False  # eval-only fused decoder tail + AAG
     remat_blocks: object = False  # see ResnestUNet.remat_blocks
     remat_save_convs: bool = False  # see ResnestUNet.remat_save_convs
+    remat_enc_layers: object = True  # see ResnestUNet.remat_enc_layers
 
     def setup(self):
         ax = self.bn_axis_name

@@ -76,9 +76,6 @@ class Predictor:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self._batch_sharding = NamedSharding(mesh, P("data"))
-            self.variables = jax.tree.map(
-                lambda x: jax.device_put(x, NamedSharding(mesh, P())), self.variables
-            )
 
         self._quant_scales = None
         if int8_decoder:
@@ -97,28 +94,22 @@ class Predictor:
                 self.variables, self._quant_scales = prepack_weights(
                     self.variables, self._quant_scales
                 )
-                # prepack_weights returns the packed kernels as HOST numpy
-                # arrays; params ride every jitted call as arguments, so
-                # host leaves would re-upload ~70 MB over the relay link on
-                # EACH call (measured 3.4 s/call, benchmarks/serve_latency
-                # .json pre-fix). Commit the tree to device once here.
-                if mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec as P
 
-                    self.variables = jax.tree.map(
-                        lambda x: jax.device_put(x, NamedSharding(mesh, P())),
-                        self.variables,
-                    )
-                else:
-                    self.variables = jax.device_put(self.variables)
+        # Commit the weights to device ONCE regardless of source: loaders
+        # (orbax, weights304.npz, torch converter) hand back host numpy
+        # leaves, and params ride every jitted call as arguments — host
+        # leaves would re-upload ~143 MB over the relay on EACH call
+        # (measured 2.8 s/call for the bf16 path, serve_latency.json
+        # round-4 pre-fix rows). Under a mesh, commit replicated so the
+        # non-prepacked paths don't hit the same per-call re-upload.
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        if mesh is None:
-            # Commit the weights to device ONCE regardless of source: loaders
-            # (orbax, weights304.npz, torch converter) hand back host numpy
-            # leaves, and params ride every jitted call as arguments — host
-            # leaves would re-upload ~143 MB over the relay on EACH call
-            # (measured 2.8 s/call for the bf16 path, serve_latency.json
-            # round-4 pre-fix rows; the int8-prepack path already committed).
+            replicated = NamedSharding(mesh, P())
+            self.variables = jax.tree.map(
+                lambda x: jax.device_put(x, replicated), self.variables
+            )
+        else:
             self.variables = jax.device_put(self.variables)
 
         def fwd(params, image):
