@@ -113,6 +113,24 @@ def gen_phg(torch, name: str, hw: int, seed: int, gating: int):
     print(f"{name}: {os.path.getsize(path)/1e6:.2f} MB")
 
 
+def gen_ph(torch, name: str, hw: int, seed: int):
+    from architectures.segmentor.compose import (
+        ResnestUnetParallelHead as TorchPH,
+    )
+
+    torch.manual_seed(0)
+    tm = TorchPH(num_classes=2, pretrain=False)
+    manifest = _load_filled(torch, tm)
+    x = input_array(seed, (1, 3, hw, hw))
+    with torch.no_grad():
+        agg = tm(torch.from_numpy(x))                      # (2, B, C, H, W)
+        pred = tm.predict(torch.from_numpy(x), "softmax")
+    path = save_fixture(
+        name, manifest, {"hw": hw, "seed": seed},
+        {"agg": agg.numpy(), "pred": pred.numpy()})
+    print(f"{name}: {os.path.getsize(path)/1e6:.2f} MB")
+
+
 def gen_disc(torch, name: str, seed: int):
     from architectures.discriminator.blocks import DiscriminatorBlock as TorchD
 
@@ -181,6 +199,7 @@ def main():
     gen_unet(torch, "unet304", 304, seed=103)
     gen_unet(torch, "unet400", 400, seed=104)
     gen_phg(torch, "phg112", 112, seed=105, gating=3)
+    gen_ph(torch, "ph112", 112, seed=107)
     gen_disc(torch, "disc64", seed=106)
     gen_losses(torch, "losses")
 

@@ -90,6 +90,31 @@ def test_golden_parallel_head_gate112():
     assert _max_err(out["agg"], j_agg_nchw) < 1e-3, "agg"
 
 
+def test_golden_parallel_head112():
+    """Plain dual-decoder variant (reference compose.py:233-362), quick-tier
+    and torch-free — closes the coverage hole that let the round-4
+    construction regression ship (VERDICT r4 item 5)."""
+    from octave_tpu.models.segmentor import ResnestUnetParallelHead
+
+    manifest, meta, out = load_fixture("ph112")
+    sd = fill_state_dict(manifest)
+    variables = convert_resnest_unet(sd, parallel_head=True)
+    hw = meta["hw"]
+    x = input_array(meta["seed"], (1, 3, hw, hw))
+    xj = jnp.asarray(x).transpose(0, 2, 3, 1)
+    jm = ResnestUnetParallelHead(num_classes=2)
+    variables = merge_variables(jm.init(jax.random.PRNGKey(0), xj, False),
+                                variables)
+    j_agg = jm.apply(variables, xj, False)            # (2, B, H, W, C)
+    j_pred = jm.apply(variables, xj, "softmax", False,
+                      method=ResnestUnetParallelHead.predict)
+    for got, want, label in ((j_agg, out["agg"], "agg"),
+                             (j_pred, out["pred"], "pred")):
+        got_nchw = np.asarray(got).transpose(0, 1, 4, 2, 3)
+        assert want.shape == got_nchw.shape, label
+        assert _max_err(want, got_nchw) < 1e-3, label
+
+
 def test_golden_discriminator64():
     from octave_tpu.models.discriminator import DiscriminatorBlock
 
