@@ -100,9 +100,24 @@ def _flatten(tree: Any, prefix: str = "") -> Any:
         yield prefix, np.asarray(tree)
 
 
-def export_weights_npz(path: str, variables: Any) -> None:
+def _shard_paths(path: str, n: int):
+    base = path[:-4] if path.endswith(".npz") else path
+    return [f"{base}-shard{i}-of-{n}.npz" for i in range(n)]
+
+
+def export_weights_npz(path: str, variables: Any,
+                       max_bytes: int | None = None) -> None:
     """Save {"params": ..., "batch_stats": ...} (any nested dict-of-arrays)
-    as a compact npz: float32 → bf16 bit patterns, other dtypes verbatim."""
+    as a compact npz: float32 → bf16 bit patterns, other dtypes verbatim.
+
+    With `max_bytes`, the leaves are greedily partitioned into shards whose
+    UNCOMPRESSED payload stays under the cap (bf16 weight noise is nearly
+    incompressible, so raw bytes upper-bound the file size) and written as
+    `<base>-shard{i}-of-{n}.npz` instead of one file — keeps each committed
+    blob under GitHub's 100 MB hard per-file limit. `load_weights_npz(path)`
+    finds and merges the shards transparently."""
+    import glob as _glob
+
     import ml_dtypes
     import numpy as np
 
@@ -112,27 +127,62 @@ def export_weights_npz(path: str, variables: Any) -> None:
             out[_BF16_PREFIX + key] = arr.astype(ml_dtypes.bfloat16).view(np.uint16)
         else:
             out[_RAW_PREFIX + key] = arr
-    np.savez_compressed(path, **out)
+    if max_bytes is None:
+        np.savez_compressed(path, **out)
+        return
+    shards: list = [{}]
+    sizes = [0]
+    for key in sorted(out):  # deterministic partition
+        nb = out[key].nbytes
+        if sizes[-1] and sizes[-1] + nb > max_bytes:
+            shards.append({})
+            sizes.append(0)
+        shards[-1][key] = out[key]
+        sizes[-1] += nb
+    base = path[:-4] if path.endswith(".npz") else path
+    for stale in _glob.glob(f"{base}-shard*-of-*.npz"):
+        os.remove(stale)
+    for p, shard in zip(_shard_paths(path, len(shards)), shards):
+        np.savez_compressed(p, **shard)
 
 
 def load_weights_npz(path: str) -> Any:
-    """Inverse of export_weights_npz: nested dict with float32 leaves."""
+    """Inverse of export_weights_npz: nested dict with float32 leaves.
+
+    Accepts either a single npz or the logical path of a sharded export
+    (loads and merges `<base>-shard{i}-of-{n}.npz`)."""
+    import glob as _glob
+
     import ml_dtypes
     import numpy as np
 
-    data = np.load(path)
+    if os.path.exists(path):
+        sources = [np.load(path)]
+    else:
+        base = path[:-4] if path.endswith(".npz") else path
+        found = sorted(_glob.glob(f"{base}-shard*-of-*.npz"))
+        if not found:
+            raise FileNotFoundError(path)
+        n = int(found[0].rsplit("-of-", 1)[1][:-4])
+        expect = _shard_paths(path, n)
+        if found != expect:
+            raise FileNotFoundError(
+                f"incomplete shard set for {path}: found {found}, "
+                f"expected {expect}")
+        sources = [np.load(p) for p in found]
     tree: dict = {}
-    for full in data.files:
-        if full.startswith(_BF16_PREFIX):
-            key, arr = full[len(_BF16_PREFIX):], data[full]
-            arr = arr.view(ml_dtypes.bfloat16).astype(np.float32)
-        elif full.startswith(_RAW_PREFIX):
-            key, arr = full[len(_RAW_PREFIX):], data[full]
-        else:  # pragma: no cover - defensive
-            raise ValueError(f"unknown npz key prefix: {full!r}")
-        node = tree
-        parts = key.split(_SEP)
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = arr
+    for data in sources:
+        for full in data.files:
+            if full.startswith(_BF16_PREFIX):
+                key, arr = full[len(_BF16_PREFIX):], data[full]
+                arr = arr.view(ml_dtypes.bfloat16).astype(np.float32)
+            elif full.startswith(_RAW_PREFIX):
+                key, arr = full[len(_RAW_PREFIX):], data[full]
+            else:  # pragma: no cover - defensive
+                raise ValueError(f"unknown npz key prefix: {full!r}")
+            node = tree
+            parts = key.split(_SEP)
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = arr
     return tree
