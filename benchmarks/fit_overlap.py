@@ -64,8 +64,13 @@ def run(ahead: int, steps: int = 48, batch: int = 64) -> dict:
 
 def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
+    # FO_AHEAD="2" reruns a single setting (each setting pays its own cold
+    # relay compile, ~10-30 min; an outer timeout that SIGTERMs mid-setting
+    # produces a graceful-preemption stop and a useless 0-window row)
+    settings = tuple(int(a) for a in
+                     os.environ.get("FO_AHEAD", "0,2").split(","))
     with open(os.path.join(here, "fit_overlap.json"), "a") as f:
-        for ahead in (0, 2):
+        for ahead in settings:
             try:
                 r = run(ahead)
             except Exception as e:
