@@ -59,7 +59,11 @@ def main() -> None:
     out = open(os.path.join(here, "batch_server.json"), "a")
 
     depth = int(os.environ.get("BS_PIPELINE", "2"))
-    for batch, ks in ((16, (1,)), (16, (1, 2, 4)), (64, (1,)), (64, (1, 2, 4))):
+    configs = ((16, (1,)), (16, (1, 2, 4)), (64, (1,)), (64, (1, 2, 4)))
+    if os.environ.get("BS_ONLY"):  # e.g. BS_ONLY="64:1,2,4" — one config
+        b, ks_s = os.environ["BS_ONLY"].split(":")
+        configs = ((int(b), tuple(int(k) for k in ks_s.split(","))),)
+    for batch, ks in configs:
         srv = BatchServer(pred, batch=batch, image_hw=(hw, hw), ks=ks,
                           pipeline_depth=depth)
 
@@ -86,6 +90,8 @@ def main() -> None:
             "unloaded_ms": round(unloaded_ms, 3),
             "saturated_img_s": round(n / wall, 1),
         }
+        if srv._ks_live != srv.ks:  # device OOM shrank the live depths
+            row["ks_live_after_oom"] = list(srv._ks_live)
         print(json.dumps(row))
         out.write(json.dumps(row) + "\n")
         out.flush()

@@ -77,10 +77,15 @@ def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5,
 
     import contextlib
     ctx = contextlib.ExitStack()
-    if os.environ.get("TS_DENSE"):
-        from octave_tpu.models.resnest import groups_as_dense
+    dense_spec = os.environ.get("TS_DENSE")
+    if dense_spec:
+        from octave_tpu.models.resnest import dense_groups_include, groups_as_dense
 
-        ctx.enter_context(groups_as_dense(lambda p: p.startswith("decoder_")))
+        # TS_DENSE=1 keeps the old all-decoder behavior; a spec value
+        # ('decoder:01', 'all', ...) scopes it (dense_groups_include)
+        if dense_spec == "1":
+            dense_spec = "decoder"
+        ctx.enter_context(groups_as_dense(dense_groups_include(dense_spec)))
     try:
         if os.environ.get("TS_MEM"):
             # HBM budget diagnosis (VERDICT r2 item 2): compile only and
@@ -110,8 +115,8 @@ def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5,
             r["steps_per_call"] = k
         if mu:
             r["moment_dtype"] = mu
-        if os.environ.get("TS_DENSE"):
-            r["dense_groups"] = "decoder"
+        if dense_spec:
+            r["dense_groups"] = dense_spec
         return r
     except Exception as e:  # OOM etc. — record, don't crash the sweep
         return {"batch": batch, "remat": remat, "error": type(e).__name__,

@@ -103,6 +103,37 @@ def groups_as_dense(include=None):
         _GroupsAsDense.active, _GroupsAsDense.include = prev
 
 
+def dense_groups_include(spec: str):
+    """Parse a `dense_groups` spec into a module-path include callback.
+
+    'all'            → every grouped conv
+    'decoder'        → every decoder-stage grouped conv (decoder_*)
+    'decoder:<digits>' → only the named decoder stages, e.g. 'decoder:01'
+      lowers decoder_0/decoder_1 dense and leaves the rest grouped. The
+      per-stage split exists because the win is stage-dependent: the narrow
+      stages (decoder_0/1 run 8-16 channels per group, far under the MXU's
+      128 lanes) gain from dense lowering while the wide stages (decoder_3/4
+      already fill the lanes) just pay dense's 4x FLOPs — measured per stage
+      fwd+bwd in benchmarks/grouped_conv_ab.json.
+    """
+    if spec == "all":
+        return None
+    if spec == "decoder":
+        return lambda p: p.startswith("decoder_")
+    if spec.startswith("decoder:"):
+        digits = spec.split(":", 1)[1]
+        if not digits or not digits.isdigit():
+            raise ValueError(
+                f"bad dense_groups stage list {spec!r}; expected e.g. 'decoder:01'"
+            )
+        names = tuple(f"decoder_{d}" for d in digits)
+        return lambda p: p.startswith(names)
+    raise ValueError(
+        f"unknown dense_groups {spec!r}; "
+        "expected None | 'decoder' | 'decoder:<digits>' | 'all'"
+    )
+
+
 class Conv(nn.Module):
     """2D conv over NHWC with torch-default init and explicit padding."""
 

@@ -40,7 +40,7 @@ class Predictor:
         int8_decoder: bool = False,
         calibration_batches=None,
         int8_scope: str = "decoder",  # 'decoder' | 'decoder+ups' | 'dense' | 'all'
-        dense_groups=None,  # None | 'decoder' | 'all': lower grouped convs dense
+        dense_groups=None,  # None|'decoder'|'decoder:<digits>'|'all': grouped convs -> dense
         int8_prepack: bool = True,  # offline weight quantization (exact)
     ):
         """int8_decoder: PTQ the bandwidth-bound decoder stages to int8
@@ -52,6 +52,13 @@ class Predictor:
         benchmarks/int8_accuracy.py before serving. dense_groups='decoder'
         lowers the decoder splat grouped convs as block-diagonal dense
         (exact math; see models/resnest.py::groups_as_dense)."""
+        # cheap argument validation first — before any model build / BN fold
+        # (callers shouldn't pay a full init to learn a kwarg is missing)
+        if int8_decoder and calibration_batches is None:
+            raise ValueError(
+                "int8_decoder=True requires calibration_batches "
+                "(a few representative input batches)"
+            )
         self.model = ResnestUNet(
             num_classes=num_classes,
             use_pallas_aag=use_pallas_aag,
@@ -79,11 +86,6 @@ class Predictor:
 
         self._quant_scales = None
         if int8_decoder:
-            if calibration_batches is None:
-                raise ValueError(
-                    "int8_decoder=True requires calibration_batches "
-                    "(a few representative input batches)"
-                )
             self._quant_scales = self._calibrate(calibration_batches, int8_scope)
             if int8_prepack:
                 # offline weight quantization: int8 kernels live in the
@@ -155,11 +157,11 @@ class Predictor:
 
             st.enter_context(quant.quantized_inference(self._quant_scales))
         if self._dense_groups is not None:
-            from octave_tpu.models.resnest import groups_as_dense
+            from octave_tpu.models.resnest import (dense_groups_include,
+                                                   groups_as_dense)
 
-            include = (None if self._dense_groups == "all"
-                       else lambda p: p.startswith("decoder_"))
-            st.enter_context(groups_as_dense(include))
+            st.enter_context(
+                groups_as_dense(dense_groups_include(self._dense_groups)))
         return st
 
     def _calibrate(self, batches, scope: str = "decoder") -> dict:
@@ -366,6 +368,7 @@ class BatchServer:
         if pipeline_depth < 1:
             raise ValueError(f"pipeline_depth must be >= 1, got {pipeline_depth}")
         self.pipeline_depth = int(pipeline_depth)
+        self._ks_live = self.ks  # shrinks on device OOM (_shrink_ks)
         if warmup:
             predictor.warmup(self.batch, self.image_hw, self.ks,
                              self.channels, self.wire_dtype)
@@ -454,13 +457,57 @@ class BatchServer:
         return items, stop
 
     def _pick_k(self, n: int) -> int:
-        """Largest k whose stack the backlog fills at least (k-1) batches
-        of — i.e. grow k only when there is work to amortize over."""
-        k = self.ks[0]
-        for cand in self.ks:
+        """Largest LIVE k whose stack the backlog fills at least (k-1)
+        batches of — i.e. grow k only when there is work to amortize over.
+        `_ks_live` starts as `ks` and shrinks permanently when a depth OOMs
+        on the device (see `_is_oom`)."""
+        k = self._ks_live[0]
+        for cand in self._ks_live:
             if n > (cand - 1) * self.batch:
                 k = cand
         return k
+
+    @staticmethod
+    def _is_oom(e: Exception) -> bool:
+        """Device out-of-memory, surfaced either synchronously at dispatch
+        or asynchronously when the resolver consumes the output. Pipelining
+        multiplies resident temp workspace (each ENQUEUED execution reserves
+        its own), so a (k, batch) stack that fits standalone at warmup can
+        still OOM under depth — measured: (k=4, batch=64, depth=2) at 304²
+        exhausts a 16 GB v5e (benchmarks/batch_server.json)."""
+        s = f"{type(e).__name__}: {e}"
+        return "RESOURCE_EXHAUSTED" in s or "ResourceExhausted" in s
+
+    def _shrink_ks(self, failed_k: int) -> bool:
+        """Permanently drop every aggregation depth >= failed_k. Returns
+        False if nothing smaller is left (min k also OOMs — unrecoverable)."""
+        live = [k for k in self._ks_live if k < failed_k]
+        if not live:
+            return False
+        self._ks_live = tuple(live)
+        return True
+
+    def _stack(self, chunk, k: int) -> np.ndarray:
+        stack = np.zeros((k, self.batch, *self._shape), self.wire_dtype)
+        flat = stack.reshape(k * self.batch, *self._shape)
+        for i, (img, _) in enumerate(chunk):
+            flat[i] = img
+        return stack
+
+    def _dispatch_retrying(self, chunk, k: int):
+        """Dispatch a chunk; on a synchronous OOM, back off once and retry
+        at the SAME k before letting the caller shrink — enqueue-time
+        allocation failures are often transient pressure from the other
+        in-flight executions, not proof that k is too big."""
+        import time as _time
+
+        try:
+            return self.predictor.predict_many_device(self._stack(chunk, k))
+        except Exception as e:
+            if not self._is_oom(e):
+                raise
+            _time.sleep(1.0)  # let in-flight executions drain their reservations
+            return self.predictor.predict_many_device(self._stack(chunk, k))
 
     def _run(self) -> None:
         while True:
@@ -470,20 +517,22 @@ class BatchServer:
                 take = min(len(items), k * self.batch)
                 chunk, items = items[:take], items[take:]
                 try:
-                    stack = np.zeros((k, self.batch, *self._shape), self.wire_dtype)
-                    flat = stack.reshape(k * self.batch, *self._shape)
-                    for i, (img, _) in enumerate(chunk):
-                        flat[i] = img
                     # asynchronous: returns once the upload + execution are
                     # ENQUEUED; the resolver blocks on the result while this
                     # thread stacks and dispatches the next chunk
-                    out = self.predictor.predict_many_device(stack)
-                except Exception as e:  # surface the failure on every waiter
-                    for _, fut in chunk:
+                    out = self._dispatch_retrying(chunk, k)
+                except Exception as e:
+                    if self._is_oom(e) and self._shrink_ks(k):
+                        # re-chunk at the shrunk depths through the normal
+                        # pipelined path (still > (min_k-1)*batch full, so
+                        # _pick_k stays within the live set)
+                        items = chunk + items
+                        continue
+                    for _, fut in chunk:  # surface the failure on every waiter
                         if not fut.done():
                             fut.set_exception(e)
                     continue
-                self._results.put((chunk, out))  # blocks at pipeline_depth
+                self._results.put((chunk, k, out))  # blocks at pipeline_depth
             if stop:
                 self._results.put(None)
                 # resolve anything enqueued after the sentinel raced in
@@ -502,13 +551,62 @@ class BatchServer:
             item = self._results.get()
             if item is None:
                 return
-            chunk, out = item
+            chunk, k, out = item
             try:
                 arr = np.asarray(out)  # waits on compute + downlink
-                arr = arr.reshape(arr.shape[0] * arr.shape[1], *arr.shape[2:])
-                for i, (_, fut) in enumerate(chunk):
-                    fut.set_result(arr[i])
             except Exception as e:
-                for _, fut in chunk:
-                    if not fut.done():
-                        fut.set_exception(e)
+                # An enqueued execution can fail ASYNCHRONOUSLY here (TPU
+                # OOM under pipelining surfaces at consumption). Shrink the
+                # live depths, then re-run THIS chunk synchronously at the
+                # smallest k — one dispatch at a time, right here: the
+                # resolver must never block on _results.put (it is its own
+                # consumer) or _queue.put (deadlocks against a full client
+                # queue while the worker waits on _results).
+                if self._is_oom(e) and self._shrink_ks(k):
+                    self._resolve_fallback(chunk)
+                else:
+                    for _, fut in chunk:
+                        if not fut.done():
+                            fut.set_exception(e)
+                continue
+            arr = arr.reshape(arr.shape[0] * arr.shape[1], *arr.shape[2:])
+            for i, (_, fut) in enumerate(chunk):
+                fut.set_result(arr[i])
+
+    def _resolve_fallback(self, chunk) -> None:
+        """Re-run an OOM-failed chunk at the smallest live k, synchronously
+        (concurrent jit dispatch from this thread is safe; the device
+        executor serializes). In-flight chunks dispatched at the old k may
+        still fail the same way and land back here; `_ks_live` shrinks
+        monotonically so this terminates.
+
+        Each piece retries with backoff: right after an OOM the device is
+        still saturated by the other enqueued big-k executions (each
+        reserves its temp workspace at enqueue), so even a small retry can
+        fail until those drain — measured on the (k=4, batch=64, depth=2)
+        304² config, where the immediate k=1 retry's device_put itself hit
+        RESOURCE_EXHAUSTED."""
+        import time as _time
+
+        kmin = self._ks_live[0]
+        size = kmin * self.batch
+        for lo in range(0, len(chunk), size):
+            piece = chunk[lo:lo + size]
+            for attempt in range(6):
+                try:
+                    out = self.predictor.predict_many_device(
+                        self._stack(piece, kmin))
+                    arr = np.asarray(out)
+                    arr = arr.reshape(
+                        arr.shape[0] * arr.shape[1], *arr.shape[2:])
+                    for i, (_, fut) in enumerate(piece):
+                        fut.set_result(arr[i])
+                    break
+                except Exception as e:
+                    if self._is_oom(e) and attempt < 5:
+                        _time.sleep(0.5 * (2 ** attempt))  # let the device drain
+                        continue
+                    for _, fut in piece:
+                        if not fut.done():
+                            fut.set_exception(e)
+                    break

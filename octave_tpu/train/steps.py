@@ -119,7 +119,8 @@ class StepConfig:
     #             train_scaling.json) — kept for reproduction only.
     remat: object = False
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16': MXU-native compute, fp32 master weights
-    # None | 'decoder' | 'all' — lower grouped convs to block-diagonal DENSE
+    # None | 'decoder' | 'decoder:<digits>' | 'all' — lower grouped convs to
+    # block-diagonal DENSE
     # convs in the train graph (models/resnest.py::groups_as_dense; exact
     # math, identical param tree, and the transpose/grad convs lower dense
     # too). The decoder splat convs run groups=4 with 16-32 channels per
@@ -184,15 +185,9 @@ def make_train_step(
     cdtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
 
     if cfg.dense_groups is not None:
-        from octave_tpu.models.resnest import groups_as_dense
+        from octave_tpu.models.resnest import dense_groups_include, groups_as_dense
 
-        if cfg.dense_groups not in ("decoder", "all"):
-            raise ValueError(
-                f"unknown dense_groups {cfg.dense_groups!r}; "
-                "expected None | 'decoder' | 'all'"
-            )
-        _include = (None if cfg.dense_groups == "all"
-                    else lambda p: p.startswith("decoder_"))
+        _include = dense_groups_include(cfg.dense_groups)
 
         def _dense_ctx():
             # trace-time switch: active while the step traces (thread-local,

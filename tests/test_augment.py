@@ -92,6 +92,7 @@ class TestPrepareBatchAugment:
         np.testing.assert_allclose(np.asarray(a["image"]), np.asarray(b["image"]))
 
 
+@pytest.mark.slow
 def test_trainer_augment_smoke():
     """Two train steps with augmentation on: losses finite, resume-stable
     key seeding doesn't crash."""

@@ -99,9 +99,12 @@ class TestPredictorInt8:
     def test_requires_calibration_batches(self):
         from octave_tpu.serve import Predictor
 
+        # validation fires before any model build — the empty variables
+        # tree is never touched, so this test costs milliseconds
         with pytest.raises(ValueError, match="calibration_batches"):
-            Predictor.initialize(image_hw=(64, 64), int8_decoder=True)
+            Predictor({}, int8_decoder=True)
 
+    @pytest.mark.slow
     def test_scales_cover_decoder_only(self, small_predictor_pair):
         _, q, _ = small_predictor_pair
         keys = list(q._quant_scales)
@@ -116,6 +119,7 @@ class TestPredictorInt8:
             for s in q._quant_scales.values()
         )
 
+    @pytest.mark.slow
     def test_output_close_to_fp(self, small_predictor_pair):
         fp, q, calib = small_predictor_pair
         x = calib[0]
@@ -129,12 +133,14 @@ class TestPredictorInt8:
         agree = float(np.mean((y_q.argmax(-1) == y_fp.argmax(-1))))
         assert agree > 0.98, agree
 
+    @pytest.mark.slow
     def test_param_tree_unchanged(self, small_predictor_pair):
         fp, q, _ = small_predictor_pair
         flat_fp = jax.tree_util.tree_structure(fp.variables["params"])
         flat_q = jax.tree_util.tree_structure(q.variables["params"])
         assert flat_fp == flat_q
 
+    @pytest.mark.slow
     def test_dense_groups_exact_and_int8(self):
         """The bench-default serving config: dense-lowered decoder splat
         convs (exact math vs grouped) composed with int8."""
@@ -177,6 +183,7 @@ class TestPredictorInt8:
         rel = float(jnp.linalg.norm(outs[0] - yf) / jnp.linalg.norm(yf))
         assert rel < 0.02, rel
 
+    @pytest.mark.slow
     def test_int8_with_folded_bn(self):
         """The production config: folded BN + bf16 + int8 decoder."""
         from octave_tpu.serve import Predictor

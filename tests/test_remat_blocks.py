@@ -35,6 +35,7 @@ def _grad_rel_l2(g0, g1):
     return d / n0
 
 
+@pytest.mark.slow
 def test_bottleneck_remat_bit_exact():
     kw = dict(inplanes=64, planes=32, strides=1, has_downsample=True,
               radix=2, avd=True, is_first=True, avg_down=True)
@@ -194,6 +195,7 @@ def test_parse_remat_enc_layers():
         _parse_remat_blocks("block:e12")  # empty decoder part
 
 
+@pytest.mark.slow
 def test_unet_remat_enc_layer_subset_equivalent():
     """remat_enc_layers as a layer-index set: same param tree, same forward
     values; encoder layers outside the set keep plain Bottlenecks."""
@@ -214,6 +216,7 @@ def test_unet_remat_enc_layer_subset_equivalent():
         assert bool(jnp.all(p0 == p1))
 
 
+@pytest.mark.slow
 def test_unet_remat_stage_subset_equivalent():
     """remat_blocks as a stage-index set: same param tree, same forward
     values (nn.remat is value-preserving), decoder stages outside the set

@@ -49,6 +49,7 @@ def test_predict_many_mesh(rng):
     np.testing.assert_allclose(many[0], single(stack[0]), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_predict_many_matches_per_batch(rng):
     """Scan-aggregated dispatch (one device call for k batches) == k sync
     calls. This is the throughput-serving path on high-dispatch-latency
@@ -61,6 +62,7 @@ def test_predict_many_matches_per_batch(rng):
         np.testing.assert_allclose(many[i], pred(stack[i]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_predictor_uint8_wire(rng):
     """uint8 input == float input/255 (device-side normalization)."""
     pred = Predictor.initialize(image_hw=(32, 32), dtype=jnp.float32)
@@ -70,6 +72,7 @@ def test_predictor_uint8_wire(rng):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_predictor_output_formats(rng):
     img8 = rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8)
     ref = Predictor.initialize(image_hw=(32, 32), dtype=jnp.float32)(img8)
@@ -83,6 +86,7 @@ def test_predictor_output_formats(rng):
     np.testing.assert_allclose(h, ref, atol=1e-3)
 
 
+@pytest.mark.slow
 class TestBatchServer:
     """Queue-depth-adaptive dynamic batcher (serve.BatchServer).
 
@@ -173,3 +177,201 @@ class TestBatchServer:
             assert srv._pick_k(6) == 2
             assert srv._pick_k(7) == 4
             assert srv._pick_k(800) == 4
+
+
+class FakePredictor:
+    """Deterministic device-free stand-in implementing the two methods
+    BatchServer consumes (`warmup`, `predict_many_device`). Output per
+    image i is a function of that image's bytes, so any routing/slot/order
+    bug in the server produces a wrong answer, not a flaky one. A tiny
+    sleep emulates device latency so the pipelined worker/resolver overlap
+    is actually exercised (several chunks in flight at once)."""
+
+    def __init__(self, latency_s: float = 0.002):
+        self.latency_s = latency_s
+        self.dispatches = []  # (k, batch) per predict_many_device call
+
+    def warmup(self, batch, image_hw, ks, channels, wire_dtype):
+        pass
+
+    @staticmethod
+    def expected(img: np.ndarray) -> np.ndarray:
+        x = img.astype(np.float32) / 255.0
+        m = x.mean(-1)
+        return np.stack([m, 1.0 - m], axis=-1)
+
+    def predict_many_device(self, stack):
+        import time
+
+        self.dispatches.append(stack.shape[:2])
+        time.sleep(self.latency_s)
+        x = stack.astype(np.float32) / 255.0
+        m = x.mean(-1)
+        return np.stack([m, 1.0 - m], axis=-1)  # (k, b, h, w, 2)
+
+
+class TestBatchServerLogic:
+    """Quick-tier coverage of every BatchServer code path (queueing,
+    adaptive k, zero-pad slots, pipelining, validation, close) against the
+    device-free FakePredictor — the real-Predictor integration versions of
+    these tests live in the slow tier (TestBatchServer above), where the
+    full-model CPU compiles are affordable."""
+
+    HW = (8, 8)
+
+    def _server(self, fake=None, **kw):
+        from octave_tpu.serve import BatchServer
+
+        kw.setdefault("batch", 2)
+        kw.setdefault("image_hw", self.HW)
+        kw.setdefault("ks", (1, 2))
+        return fake or FakePredictor(), kw
+
+    def _make(self, fake=None, **kw):
+        from octave_tpu.serve import BatchServer
+
+        fake, kw = self._server(fake, **kw)
+        return fake, BatchServer(fake, **kw)
+
+    def test_results_match_direct_and_order(self, rng):
+        imgs = [rng.integers(0, 256, (*self.HW, 3), dtype=np.uint8)
+                for _ in range(7)]
+        fake, srv = self._make()
+        with srv:
+            outs = list(srv.map(iter(imgs)))
+        assert len(outs) == 7
+        for img, out in zip(imgs, outs):
+            np.testing.assert_allclose(out, FakePredictor.expected(img),
+                                       atol=1e-6)
+
+    def test_padding_slots_do_not_leak(self, rng):
+        img = rng.integers(0, 256, (*self.HW, 3), dtype=np.uint8)
+        fake, srv = self._make()
+        with srv:
+            out = srv.submit(img).result(timeout=60)
+        assert out.shape == (*self.HW, 2)
+        np.testing.assert_allclose(out, FakePredictor.expected(img), atol=1e-6)
+        # exactly one k=1 dispatch of the compiled (k, batch) stack
+        assert fake.dispatches == [(1, 2)]
+
+    def test_shape_and_dtype_validation(self):
+        _, srv = self._make()
+        with srv:
+            with pytest.raises(ValueError, match="shape"):
+                srv.submit(np.zeros((4, 4, 3), np.uint8))
+            with pytest.raises(ValueError, match="dtype"):
+                srv.submit(np.zeros((*self.HW, 3), np.float32))
+
+    def test_submit_after_close_raises(self):
+        _, srv = self._make()
+        srv.close()
+        srv.close()  # idempotent
+        with pytest.raises(RuntimeError, match="closed"):
+            srv.submit(np.zeros((*self.HW, 3), np.uint8))
+
+    def test_pipelined_flood_results_correct(self, rng):
+        imgs = [rng.integers(0, 256, (*self.HW, 3), dtype=np.uint8)
+                for _ in range(200)]
+        fake, srv = self._make(pipeline_depth=3, ks=(1, 2, 4))
+        with srv:
+            futs = [srv.submit(img) for img in imgs]
+            outs = [f.result(timeout=60) for f in futs]
+        for img, out in zip(imgs, outs):
+            np.testing.assert_allclose(out, FakePredictor.expected(img),
+                                       atol=1e-6)
+        # under flood the adaptive policy must have aggregated past k=1
+        assert any(k > 1 for k, _ in fake.dispatches), fake.dispatches
+
+    def test_pipeline_depth_one_and_validation(self, rng):
+        img = rng.integers(0, 256, (*self.HW, 3), dtype=np.uint8)
+        _, srv = self._make(pipeline_depth=1)
+        with srv:
+            out = srv.submit(img).result(timeout=60)
+        np.testing.assert_allclose(out, FakePredictor.expected(img), atol=1e-6)
+        with pytest.raises(ValueError, match="pipeline_depth"):
+            self._make(pipeline_depth=0)
+
+    def test_worker_exception_propagates_to_futures(self, rng):
+        class Boom(FakePredictor):
+            def predict_many_device(self, stack):
+                raise RuntimeError("device on fire")
+
+        img = rng.integers(0, 256, (*self.HW, 3), dtype=np.uint8)
+        _, srv = self._make(fake=Boom())
+        with srv:
+            fut = srv.submit(img)
+            with pytest.raises(RuntimeError, match="device on fire"):
+                fut.result(timeout=60)
+
+    def test_pick_k_grows_with_backlog(self):
+        _, srv = self._make(ks=(1, 2, 4))
+        with srv:
+            assert srv._pick_k(1) == 1
+            assert srv._pick_k(2) == 1
+            assert srv._pick_k(3) == 2
+            assert srv._pick_k(6) == 2
+            assert srv._pick_k(7) == 4
+            assert srv._pick_k(800) == 4
+
+    def test_oom_at_dispatch_shrinks_ks_and_recovers(self, rng):
+        """Synchronous device OOM on a k>1 dispatch: the server permanently
+        drops the failed depth, re-chunks, and every request still resolves
+        correctly (measured failure mode: (k=4,batch=64,depth=2) at 304²
+        exhausts v5e HBM — benchmarks/batch_server.json)."""
+        class OomAbove1(FakePredictor):
+            def predict_many_device(self, stack):
+                if stack.shape[0] > 1:
+                    raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+                return super().predict_many_device(stack)
+
+        imgs = [rng.integers(0, 256, (*self.HW, 3), dtype=np.uint8)
+                for _ in range(100)]
+        fake, srv = self._make(fake=OomAbove1(), ks=(1, 2, 4),
+                               pipeline_depth=2)
+        with srv:
+            futs = [srv.submit(img) for img in imgs]
+            outs = [f.result(timeout=60) for f in futs]
+        for img, out in zip(imgs, outs):
+            np.testing.assert_allclose(out, FakePredictor.expected(img),
+                                       atol=1e-6)
+        assert srv._ks_live == (1,)
+        # every SUCCESSFUL dispatch ran at k=1
+        assert all(k == 1 for k, _ in fake.dispatches)
+
+    def test_oom_at_resolve_falls_back_and_recovers(self, rng):
+        """Asynchronous OOM (surfaces when the resolver consumes the
+        output): the resolver shrinks the live depths and re-runs the chunk
+        synchronously at the smallest k."""
+        class LazyFail:
+            def __array__(self, dtype=None, copy=None):
+                raise RuntimeError("RESOURCE_EXHAUSTED: async execution")
+
+        class AsyncOom(FakePredictor):
+            def predict_many_device(self, stack):
+                if stack.shape[0] > 1:
+                    self.dispatches.append(stack.shape[:2])
+                    return LazyFail()
+                return super().predict_many_device(stack)
+
+        imgs = [rng.integers(0, 256, (*self.HW, 3), dtype=np.uint8)
+                for _ in range(60)]
+        fake, srv = self._make(fake=AsyncOom(), ks=(1, 2), pipeline_depth=2)
+        with srv:
+            futs = [srv.submit(img) for img in imgs]
+            outs = [f.result(timeout=60) for f in futs]
+        for img, out in zip(imgs, outs):
+            np.testing.assert_allclose(out, FakePredictor.expected(img),
+                                       atol=1e-6)
+        assert srv._ks_live == (1,)
+
+    def test_oom_at_min_k_is_unrecoverable(self, rng):
+        class AlwaysOom(FakePredictor):
+            def predict_many_device(self, stack):
+                raise RuntimeError("RESOURCE_EXHAUSTED: even k=1")
+
+        img = rng.integers(0, 256, (*self.HW, 3), dtype=np.uint8)
+        _, srv = self._make(fake=AlwaysOom())
+        with srv:
+            fut = srv.submit(img)
+            with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+                fut.result(timeout=60)

@@ -244,6 +244,23 @@ def test_dense_groups_bad_value():
                                               dense_groups="bogus"))
 
 
+def test_dense_groups_include_spec():
+    """The per-stage spec grammar (models/resnest.py::dense_groups_include):
+    'decoder:<digits>' scopes dense lowering to the named decoder stages —
+    the win is stage-dependent (benchmarks/grouped_conv_ab.json)."""
+    from octave_tpu.models.resnest import dense_groups_include
+
+    assert dense_groups_include("all") is None  # groups_as_dense: include-all
+    inc = dense_groups_include("decoder")
+    assert inc("decoder_3/splat/conv") and not inc("layer1/0/splat/conv")
+    inc01 = dense_groups_include("decoder:01")
+    assert inc01("decoder_0/splat/conv") and inc01("decoder_1/splat/conv")
+    assert not inc01("decoder_2/splat/conv")
+    for bad in ("decoder:", "decoder:x1", "bogus", ""):
+        with pytest.raises(ValueError, match="dense_groups"):
+            dense_groups_include(bad)
+
+
 def test_eval_step(setup):
     from octave_tpu.train.steps import make_eval_step
 
