@@ -62,6 +62,7 @@ def test_bottleneck_remat_bit_exact():
     assert jax.tree.all(jax.tree.map(lambda a, b: bool(jnp.all(a == b)), g0, g1))
 
 
+@pytest.mark.slow
 def test_decoder_remat_bit_exact():
     d0 = ResNestDecoder(128, 64)
     d1 = nn.remat(ResNestDecoder, static_argnums=(2,))(128, 64)

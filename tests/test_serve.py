@@ -210,6 +210,7 @@ class FakePredictor:
         return np.stack([m, 1.0 - m], axis=-1)  # (k, b, h, w, 2)
 
 
+@pytest.mark.smoke
 class TestBatchServerLogic:
     """Quick-tier coverage of every BatchServer code path (queueing,
     adaptive k, zero-pad slots, pipelining, validation, close) against the
@@ -363,6 +364,52 @@ class TestBatchServerLogic:
             np.testing.assert_allclose(out, FakePredictor.expected(img),
                                        atol=1e-6)
         assert srv._ks_live == (1,)
+
+    def test_inflight_row_budget_enforced(self, rng):
+        """The proactive HBM budget: the number of ENQUEUED-but-unresolved
+        executions never exceeds max_inflight_rows / batch (each enqueued
+        execution reserves a batch-sized temp workspace on TPU — the
+        unbudgeted pipeline hard-OOMed at (k=4, batch=64, depth=2),
+        batch_server.json)."""
+        import threading
+        import time
+
+        class LazyOut:
+            def __init__(self, fake, arr):
+                self.fake, self.arr = fake, arr
+
+            def __array__(self, dtype=None, copy=None):
+                time.sleep(0.01)  # hold the reservation: worker runs ahead
+                with self.fake.lock:
+                    self.fake.cur -= 1
+                return self.arr
+
+        class Tracking(FakePredictor):
+            def __init__(self):
+                super().__init__(latency_s=0.0)
+                self.cur = 0
+                self.peak = 0
+                self.lock = threading.Lock()
+
+            def predict_many_device(self, stack):
+                with self.lock:
+                    self.cur += 1
+                    self.peak = max(self.peak, self.cur)
+                return LazyOut(self, super().predict_many_device(stack))
+
+        imgs = [rng.integers(0, 256, (*self.HW, 3), dtype=np.uint8)
+                for _ in range(200)]
+        fake, srv = self._make(fake=Tracking(), ks=(1, 2, 4),
+                               pipeline_depth=3, max_inflight_rows=4)
+        with srv:
+            futs = [srv.submit(img) for img in imgs]
+            outs = [f.result(timeout=60) for f in futs]
+        for img, out in zip(imgs, outs):
+            np.testing.assert_allclose(out, FakePredictor.expected(img),
+                                       atol=1e-6)
+        assert fake.peak <= 4 // 2, fake.peak  # max_inflight_rows / batch
+        with pytest.raises(ValueError, match="max_inflight_rows"):
+            self._make(max_inflight_rows=0)
 
     def test_oom_at_min_k_is_unrecoverable(self, rng):
         class AlwaysOom(FakePredictor):

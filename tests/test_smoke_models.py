@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from octave_tpu.models import (
     AdversarialAttentionGate,
     DiscriminatorBlock,

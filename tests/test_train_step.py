@@ -236,6 +236,7 @@ def test_dense_groups_step_equivalence(setup):
         assert abs(a - b) <= 1e-3 * max(1.0, abs(a)), (k, a, b)
 
 
+@pytest.mark.smoke
 def test_dense_groups_bad_value():
     seg = ResnestUNet(num_classes=2)
     with pytest.raises(ValueError, match="dense_groups"):
@@ -244,6 +245,7 @@ def test_dense_groups_bad_value():
                                               dense_groups="bogus"))
 
 
+@pytest.mark.smoke
 def test_dense_groups_include_spec():
     """The per-stage spec grammar (models/resnest.py::dense_groups_include):
     'decoder:<digits>' scopes dense lowering to the named decoder stages —
