@@ -90,6 +90,8 @@ def main() -> None:
             "unloaded_ms": round(unloaded_ms, 3),
             "saturated_img_s": round(n / wall, 1),
         }
+        if srv.ks != srv.ks_requested:  # HBM budget dropped depths upfront
+            row["ks_capped"] = list(srv.ks)
         if srv._ks_live != srv.ks:  # device OOM shrank the live depths
             row["ks_live_after_oom"] = list(srv._ks_live)
         print(json.dumps(row))

@@ -342,6 +342,16 @@ class BatchServer:
     (benchmarks/batch_server.json, pipelined rows). `pipeline_depth` bounds
     in-flight dispatches (up to depth+1 stacks of device input+output
     buffers live at once — raise it only with HBM headroom).
+
+    Two layers of HBM protection (each enqueued execution reserves its own
+    batch-scaled temp workspace on TPU, so pipelining multiplies resident
+    memory): `max_inflight_rows` proactively caps concurrently-enqueued
+    executions at max_inflight_rows/batch (default 128 rows ≈ two batch-64
+    304² workspaces, measured safe on a 16 GB v5e); if the device still
+    OOMs, the server permanently shrinks the live aggregation depths and
+    re-runs the failed chunk at the smallest k with backoff — serving
+    degrades instead of dying (benchmarks/batch_server.json,
+    ks_live_after_oom rows).
     """
 
     def __init__(
@@ -355,6 +365,7 @@ class BatchServer:
         warmup: bool = True,
         max_queue: int = 4096,
         pipeline_depth: int = 2,
+        max_inflight_images: int = 256,
     ):
         self.predictor = predictor
         self.batch = int(batch)
@@ -368,7 +379,32 @@ class BatchServer:
         if pipeline_depth < 1:
             raise ValueError(f"pipeline_depth must be >= 1, got {pipeline_depth}")
         self.pipeline_depth = int(pipeline_depth)
-        self._ks_live = self.ks  # shrinks on device OOM (_shrink_ks)
+        # Proactive HBM protection: every ENQUEUED execution reserves temp
+        # workspace that scales with its k*batch image count (measured on a
+        # 16 GB v5e at 304²: four (1,64) executions coexist — 256 images —
+        # but two (4,64) executions hard-OOM the chip, after which the
+        # backend stays exhausted and even the reactive fallback's small
+        # retries fail; benchmarks/batch_server.json). Two consequences:
+        #   1. admission: the worker blocks until total enqueued images +
+        #      k*batch fits max_inflight_images (a lone execution always
+        #      passes);
+        #   2. k capping: aggregation depths whose stacks can't run TWO
+        #      abreast within the budget are dropped upfront — on a
+        #      wire-bound link, pipelined small-k beats serial big-k
+        #      (measured 97.9 img/s pipelined k=1 vs 43.8 serial adaptive
+        #      at batch=64), so a k that would forfeit overlap is never
+        #      worth dispatching. Dropped depths also skip warmup compile.
+        self.max_inflight_images = int(max_inflight_images)
+        if self.max_inflight_images < 1:
+            raise ValueError(
+                f"max_inflight_images must be >= 1, got {max_inflight_images}")
+        self.ks_requested = self.ks
+        usable = tuple(k for k in self.ks
+                       if 2 * k * self.batch <= self.max_inflight_images)
+        self.ks = usable or (self.ks[0],)
+        self._ks_live = self.ks  # shrinks further on device OOM (_shrink_ks)
+        self._inflight_images = 0
+        self._inflight_cv = threading.Condition()
         if warmup:
             predictor.warmup(self.batch, self.image_hw, self.ks,
                              self.channels, self.wire_dtype)
@@ -516,12 +552,20 @@ class BatchServer:
                 k = self._pick_k(len(items))
                 take = min(len(items), k * self.batch)
                 chunk, items = items[:take], items[take:]
+                # block until the budget admits this execution (a lone one
+                # always passes); the resolver releases as chunks complete
+                with self._inflight_cv:
+                    while (self._inflight_images > 0 and self._inflight_images
+                           + k * self.batch > self.max_inflight_images):
+                        self._inflight_cv.wait()
+                    self._inflight_images += k * self.batch
                 try:
                     # asynchronous: returns once the upload + execution are
                     # ENQUEUED; the resolver blocks on the result while this
                     # thread stacks and dispatches the next chunk
                     out = self._dispatch_retrying(chunk, k)
                 except Exception as e:
+                    self._release_inflight(k)
                     if self._is_oom(e) and self._shrink_ks(k):
                         # re-chunk at the shrunk depths through the normal
                         # pipelined path (still > (min_k-1)*batch full, so
@@ -544,6 +588,11 @@ class BatchServer:
                     if nxt is not None:
                         nxt[1].set_exception(RuntimeError("BatchServer closed"))
 
+    def _release_inflight(self, k: int) -> None:
+        with self._inflight_cv:
+            self._inflight_images -= k * self.batch
+            self._inflight_cv.notify_all()
+
     def _resolve(self) -> None:
         """Block on each dispatched chunk's device->host transfer and
         resolve its futures, in dispatch order."""
@@ -554,7 +603,9 @@ class BatchServer:
             chunk, k, out = item
             try:
                 arr = np.asarray(out)  # waits on compute + downlink
+                self._release_inflight(k)
             except Exception as e:
+                self._release_inflight(k)
                 # An enqueued execution can fail ASYNCHRONOUSLY here (TPU
                 # OOM under pipelining surfaces at consumption). Shrink the
                 # live depths, then re-run THIS chunk synchronously at the

@@ -365,12 +365,13 @@ class TestBatchServerLogic:
                                        atol=1e-6)
         assert srv._ks_live == (1,)
 
-    def test_inflight_row_budget_enforced(self, rng):
-        """The proactive HBM budget: the number of ENQUEUED-but-unresolved
-        executions never exceeds max_inflight_rows / batch (each enqueued
-        execution reserves a batch-sized temp workspace on TPU — the
-        unbudgeted pipeline hard-OOMed at (k=4, batch=64, depth=2),
-        batch_server.json)."""
+    def test_inflight_image_budget_enforced(self, rng):
+        """The proactive HBM budget: enqueued-but-unresolved images never
+        exceed max_inflight_images, and k values whose stacks can't run two
+        abreast within the budget are dropped upfront (enqueued executions
+        reserve workspace scaling with k*batch on TPU — the unbudgeted
+        pipeline hard-OOMed at (k=4, batch=64, depth=2), and so did two
+        such executions abreast; batch_server.json)."""
         import threading
         import time
 
@@ -400,16 +401,18 @@ class TestBatchServerLogic:
         imgs = [rng.integers(0, 256, (*self.HW, 3), dtype=np.uint8)
                 for _ in range(200)]
         fake, srv = self._make(fake=Tracking(), ks=(1, 2, 4),
-                               pipeline_depth=3, max_inflight_rows=4)
+                               pipeline_depth=3, max_inflight_images=4)
         with srv:
+            assert srv.ks_requested == (1, 2, 4)
+            assert srv.ks == (1,)  # k=2/4 stacks can't run two abreast in 4
             futs = [srv.submit(img) for img in imgs]
             outs = [f.result(timeout=60) for f in futs]
         for img, out in zip(imgs, outs):
             np.testing.assert_allclose(out, FakePredictor.expected(img),
                                        atol=1e-6)
-        assert fake.peak <= 4 // 2, fake.peak  # max_inflight_rows / batch
-        with pytest.raises(ValueError, match="max_inflight_rows"):
-            self._make(max_inflight_rows=0)
+        assert fake.peak <= 2, fake.peak  # 4 images / (k=1 * batch=2)
+        with pytest.raises(ValueError, match="max_inflight_images"):
+            self._make(max_inflight_images=0)
 
     def test_oom_at_min_k_is_unrecoverable(self, rng):
         class AlwaysOom(FakePredictor):
