@@ -43,22 +43,27 @@ def main():
     base = Predictor.initialize(image_hw=(hw, hw), fold_bn=False, dtype=jnp.float32)
     raw_vars = base.variables
 
-    results = {"batch": batch, "scan_k": k}
+    results = {"batch": batch, "scan_k": k,
+               "date": time.strftime("%Y-%m-%d"), "int8_prepack": True}
 
     scope = os.environ.get("AB_SCOPE", "decoder")
     results["int8_scope"] = scope
     dense = os.environ.get("AB_DENSE") or None
     if dense:
         results["dense_groups"] = dense
+    einsum = os.environ.get("AB_EINSUM") or None
+    if einsum:
+        results["einsum_groups"] = einsum
     if os.environ.get("AB_CONVT"):
         from octave_tpu.ops.common import set_conv_transpose_impl
 
         set_conv_transpose_impl(os.environ["AB_CONVT"])
         results["convt_impl"] = os.environ["AB_CONVT"]
     for label, kw in (
-        ("bf16", dict(fold_bn=True, dense_groups=dense)),
+        ("bf16", dict(fold_bn=True, dense_groups=dense, einsum_groups=einsum)),
         ("int8", dict(fold_bn=True, int8_decoder=True, calibration_batches=calib,
-                      int8_scope=scope, dense_groups=dense)),
+                      int8_scope=scope, dense_groups=dense,
+                      einsum_groups=einsum)),
     ):
         p = Predictor(raw_vars, **kw)
         xs = p._put(x)

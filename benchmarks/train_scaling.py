@@ -86,6 +86,12 @@ def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5,
         if dense_spec == "1":
             dense_spec = "decoder"
         ctx.enter_context(groups_as_dense(dense_groups_include(dense_spec)))
+    einsum_spec = os.environ.get("TS_EINSUM")
+    if einsum_spec:
+        from octave_tpu.models.resnest import (dense_groups_include,
+                                               groups_as_einsum)
+
+        ctx.enter_context(groups_as_einsum(dense_groups_include(einsum_spec)))
     try:
         if os.environ.get("TS_MEM"):
             # HBM budget diagnosis (VERDICT r2 item 2): compile only and
@@ -117,6 +123,8 @@ def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5,
             r["moment_dtype"] = mu
         if dense_spec:
             r["dense_groups"] = dense_spec
+        if einsum_spec:
+            r["einsum_groups"] = einsum_spec
         return r
     except Exception as e:  # OOM etc. — record, don't crash the sweep
         return {"batch": batch, "remat": remat, "error": type(e).__name__,

@@ -93,6 +93,37 @@ class _GroupsAsDenseSwitch(threading.local):
 _GroupsAsDense = _GroupsAsDenseSwitch()
 
 
+class _GroupsAsEinsumSwitch(threading.local):
+    """Trace-time switch: lower grouped convs as kh*kw shifted batched
+    matmuls (einsum 'bhwgi,igo->bhwgo', one per kernel tap, summed).
+
+    Motivation (VERDICT r4 item 3): XLA's feature_group_count lowering and
+    its transpose (dgrad) / batch_group wgrad dominate the train-step long
+    tail. The einsum form keeps the exact grouped FLOP count but lowers fwd
+    AND both backward passes to plain batched matmuls with K=ci, N=co per
+    group — shapes the MXU tiles directly, with no windowed-conv loop
+    nests (also a far smaller generated-code footprint, which matters on
+    the relay compile helper — train_scaling.json's HTTP-500 rows).
+
+    Exact math: parameters stay in grouped (kh,kw,ci,g*co) shape; the
+    reshape/slice bookkeeping is bijective so gradients flow identically.
+    Thread-LOCAL like _GroupsAsDenseSwitch."""
+
+    def __init__(self):
+        self.active = False
+        self.include = None
+
+    def should(self, mod) -> bool:
+        if not self.active:
+            return False
+        if self.include is None:
+            return True
+        return self.include("/".join(str(p) for p in mod.scope.path))
+
+
+_GroupsAsEinsum = _GroupsAsEinsumSwitch()
+
+
 @contextlib.contextmanager
 def groups_as_dense(include=None):
     prev = (_GroupsAsDense.active, _GroupsAsDense.include)
@@ -101,6 +132,56 @@ def groups_as_dense(include=None):
         yield
     finally:
         _GroupsAsDense.active, _GroupsAsDense.include = prev
+
+
+@contextlib.contextmanager
+def groups_as_einsum(include=None):
+    prev = (_GroupsAsEinsum.active, _GroupsAsEinsum.include)
+    _GroupsAsEinsum.active, _GroupsAsEinsum.include = True, include
+    try:
+        yield
+    finally:
+        _GroupsAsEinsum.active, _GroupsAsEinsum.include = prev
+
+
+def grouped_conv_einsum(x, kernel, groups, strides=(1, 1),
+                        padding=((0, 0), (0, 0)), dilation=(1, 1)):
+    """Grouped conv over NHWC as kh*kw shifted batched matmuls.
+
+    ``kernel`` is the grouped HWIO layout (kh, kw, ci, g*co) — identical to
+    what feature_group_count consumes, so parameters are unchanged. Each
+    kernel tap (iy, ix) contributes einsum('bhwgi,igo->bhwgo') on the
+    spatially shifted input; taps sum into the output. Exact same math as
+    lax.conv_general_dilated(..., feature_group_count=groups).
+    """
+    b, _, _, cin = x.shape
+    kh, kw, ci, feat = kernel.shape
+    g = groups
+    co = feat // g
+    assert cin == ci * g, (cin, ci, g)
+    (pt, pb), (pl, pr) = padding
+    sh, sw = strides
+    dh, dw = dilation
+    if pt or pb or pl or pr:
+        x = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+    hp, wp = x.shape[1], x.shape[2]
+    ho = (hp - (kh - 1) * dh - 1) // sh + 1
+    wo = (wp - (kw - 1) * dw - 1) // sw + 1
+    xg = x.reshape(b, hp, wp, g, ci)
+    kg = kernel.reshape(kh, kw, ci, g, co)
+    out = None
+    for iy in range(kh):
+        for ix in range(kw):
+            xs = jax.lax.slice(
+                xg,
+                (0, iy * dh, ix * dw, 0, 0),
+                (b, iy * dh + (ho - 1) * sh + 1, ix * dw + (wo - 1) * sw + 1,
+                 g, ci),
+                (1, sh, sw, 1, 1),
+            )
+            t = jnp.einsum("bhwgi,igo->bhwgo", xs, kg[iy, ix])
+            out = t if out is None else out + t
+    return out.reshape(b, ho, wo, feat)
 
 
 def dense_groups_include(spec: str):
@@ -118,20 +199,29 @@ def dense_groups_include(spec: str):
     """
     if spec == "all":
         return None
-    if spec == "decoder":
-        return lambda p: p.startswith("decoder_")
-    if spec.startswith("decoder:"):
-        digits = spec.split(":", 1)[1]
-        if not digits or not digits.isdigit():
+    preds = []
+    for part in spec.split("+"):
+        if part == "decoder":
+            preds.append(lambda p: p.startswith("decoder_"))
+        elif part.startswith("decoder:"):
+            digits = part.split(":", 1)[1]
+            if not digits or not digits.isdigit():
+                raise ValueError(
+                    f"bad dense_groups stage list {spec!r}; expected e.g. 'decoder:01'"
+                )
+            names = tuple(f"decoder_{d}" for d in digits)
+            preds.append(lambda p, names=names: p.startswith(names))
+        elif part == "enc":
+            # backbone SplAt convs (blocks named layer{N}_{i})
+            preds.append(lambda p: "layer" in p)
+        else:
             raise ValueError(
-                f"bad dense_groups stage list {spec!r}; expected e.g. 'decoder:01'"
+                f"unknown dense_groups {spec!r}; expected None | 'decoder' | "
+                "'decoder:<digits>' | 'enc' | 'all' or '+'-joined combinations"
             )
-        names = tuple(f"decoder_{d}" for d in digits)
-        return lambda p: p.startswith(names)
-    raise ValueError(
-        f"unknown dense_groups {spec!r}; "
-        "expected None | 'decoder' | 'decoder:<digits>' | 'all'"
-    )
+    if len(preds) == 1:
+        return preds[0]
+    return lambda p: any(f(p) for f in preds)
 
 
 class Conv(nn.Module):
@@ -182,6 +272,21 @@ class Conv(nn.Module):
                 strides=_pair(self.strides), padding=[(ph, ph), (pw, pw)],
                 dilation=_pair(self.dilation), groups=groups,
             )
+
+        if self.groups > 1 and _GroupsAsEinsum.should(self):
+            # same param path as nn.Conv: conv/{kernel,bias}
+            leaf = _ConvParams(
+                (kh, kw, in_ch // self.groups, self.features), kinit,
+                (self.features,) if self.use_bias else None, binit, name="conv",
+            )
+            kernel, bias = leaf()
+            y = grouped_conv_einsum(
+                x, kernel, self.groups, strides=_pair(self.strides),
+                padding=((ph, ph), (pw, pw)), dilation=_pair(self.dilation),
+            )
+            if bias is not None:
+                y = y + bias
+            return checkpoint_name(y, "conv_out")
 
         if self.groups > 1 and _GroupsAsDense.should(self):
             g = self.groups

@@ -41,6 +41,7 @@ class Predictor:
         calibration_batches=None,
         int8_scope: str = "decoder",  # 'decoder' | 'decoder+ups' | 'dense' | 'all'
         dense_groups=None,  # None|'decoder'|'decoder:<digits>'|'all': grouped convs -> dense
+        einsum_groups=None,  # same grammar (+ 'enc'): grouped convs -> shifted batched matmuls
         int8_prepack: bool = True,  # offline weight quantization (exact)
     ):
         """int8_decoder: PTQ the bandwidth-bound decoder stages to int8
@@ -68,6 +69,7 @@ class Predictor:
         self.dtype = dtype
         self._fold_bn = fold_bn
         self._dense_groups = dense_groups
+        self._einsum_groups = einsum_groups
         if fold_bn:
             from octave_tpu.ops.norm import fold_batch_stats
 
@@ -162,6 +164,12 @@ class Predictor:
 
             st.enter_context(
                 groups_as_dense(dense_groups_include(self._dense_groups)))
+        if self._einsum_groups is not None:
+            from octave_tpu.models.resnest import (dense_groups_include,
+                                                   groups_as_einsum)
+
+            st.enter_context(
+                groups_as_einsum(dense_groups_include(self._einsum_groups)))
         return st
 
     def _calibrate(self, batches, scope: str = "decoder") -> dict:

@@ -128,6 +128,14 @@ class StepConfig:
     # at full MXU rate on these bandwidth-bound stages (the inference-side
     # win was +11% composed with int8, docs/architecture.md).
     dense_groups: Optional[str] = None
+    # None | same spec grammar as dense_groups (plus 'enc' / '+'-combos) —
+    # lower grouped convs to kh*kw shifted batched MATMULS instead
+    # (models/resnest.py::grouped_conv_einsum): exact grouped FLOPs, fwd and
+    # both backward passes become plain batched dots the MXU tiles directly,
+    # and the generated-code footprint shrinks vs the windowed conv loops
+    # (the relay compile-helper constraint, train_scaling.json HTTP-500
+    # rows). Scopes given to both knobs must not overlap; einsum wins.
+    einsum_groups: Optional[str] = None
     axis_name: Optional[str] = None
 
 
@@ -184,15 +192,28 @@ def make_train_step(
     use_d = cfg.use_discriminator and bool(disc_items)
     cdtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
 
-    if cfg.dense_groups is not None:
-        from octave_tpu.models.resnest import dense_groups_include, groups_as_dense
+    if cfg.dense_groups is not None or cfg.einsum_groups is not None:
+        import contextlib
 
-        _include = dense_groups_include(cfg.dense_groups)
+        from octave_tpu.models.resnest import (dense_groups_include,
+                                               groups_as_dense,
+                                               groups_as_einsum)
+
+        _inc_d = (dense_groups_include(cfg.dense_groups)
+                  if cfg.dense_groups is not None else False)
+        _inc_e = (dense_groups_include(cfg.einsum_groups)
+                  if cfg.einsum_groups is not None else False)
 
         def _dense_ctx():
-            # trace-time switch: active while the step traces (thread-local,
-            # models/resnest.py); cached executions are unaffected
-            return groups_as_dense(_include)
+            # trace-time switches: active while the step traces
+            # (thread-local, models/resnest.py); cached executions are
+            # unaffected
+            stack = contextlib.ExitStack()
+            if _inc_d is not False:
+                stack.enter_context(groups_as_dense(_inc_d))
+            if _inc_e is not False:
+                stack.enter_context(groups_as_einsum(_inc_e))
+            return stack
     else:
         import contextlib
 

@@ -207,6 +207,7 @@ class Trainer:
             remat=cfg.train.remat,
             compute_dtype=cfg.train.compute_dtype,
             dense_groups=cfg.train.dense_groups,
+            einsum_groups=cfg.train.einsum_groups,
             axis_name=axis,
         )
         self.mesh = None

@@ -98,6 +98,9 @@ class TrainConfig:
     # None | 'decoder' | 'all': lower grouped convs dense in the TRAIN graph
     # (see train/steps.py StepConfig.dense_groups)
     dense_groups: Optional[str] = None
+    # None | same grammar (+ 'enc', '+'-combos): lower grouped convs as
+    # shifted batched matmuls (see train/steps.py StepConfig.einsum_groups)
+    einsum_groups: Optional[str] = None
     debug_nans: bool = False
 
 

@@ -20,6 +20,20 @@ def test_predictor_sync_and_stream(rng):
 
 
 @pytest.mark.slow
+def test_predictor_einsum_groups_exact(rng):
+    """einsum_groups lowering (models/resnest.py::grouped_conv_einsum) is
+    exact math in the serving graph: fp32 outputs match the grouped-conv
+    baseline to reassociation tolerance for decoder and encoder scopes."""
+    pred = Predictor.initialize(image_hw=(32, 32), dtype=jnp.float32,
+                                fold_bn=False)
+    x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    y0 = pred(x)
+    e = Predictor(pred.variables, dtype=jnp.float32, fold_bn=False,
+                  einsum_groups="decoder+enc")
+    np.testing.assert_allclose(e(x), y0, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_predictor_mesh(rng):
     """Mesh-sharded Predictor: batch fans out over the 8-device CPU mesh."""
     from octave_tpu.parallel.mesh import make_mesh
