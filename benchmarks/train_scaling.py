@@ -117,6 +117,23 @@ def measure(batch: int, remat: bool, hw: int = 304, reps: int = 5,
         dt = statistics.median(ts) / max(k, 1)  # per train step
         r = {"batch": batch, "remat": remat, "adversarial": use_disc,
              "step_ms": round(dt * 1e3, 2), "img_per_s": round(batch / dt, 2)}
+        if os.environ.get("TS_SUSTAIN"):
+            # SUSTAINED throughput: N chained dispatches, ONE final sync.
+            # The per-call loop above pays a full relay dispatch latency
+            # every call (the host sync un-pipelines the stream); the
+            # production fit loop explicitly does NOT (train.dispatch_ahead
+            # keeps 2 steps in flight, trainer.py). Chaining donated steps
+            # back-to-back measures what a fit loop with prefetched data
+            # sustains — both numbers are recorded.
+            n = int(os.environ.get("TS_SUSTAIN"))
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, losses = step(state, batch_d)
+            _ = float(losses["loss_seg_total"])
+            dt_s = (time.perf_counter() - t0) / (n * max(k, 1))
+            r["sustained_steps"] = n * max(k, 1)
+            r["step_ms_sustained"] = round(dt_s * 1e3, 2)
+            r["img_per_s_sustained"] = round(batch / dt_s, 2)
         if k > 1:
             r["steps_per_call"] = k
         if mu:
