@@ -292,7 +292,15 @@ def test_einsum_groups_step_equivalence(setup):
         outs[eg] = step(state, batch)[1]
     for k in outs[None]:
         a, b = float(outs[None][k]), float(outs["decoder+enc"][k])
-        assert abs(a - b) <= 1e-3 * max(1.0, abs(a)), (k, a, b)
+        # This checks WIRING (scope routing, remat interplay, transpose
+        # rules) — a scoping bug produces O(0.1+) divergence. It cannot
+        # check exactness at f32: the 9-tap einsum sum reorders every
+        # grouped conv's accumulation and the drift amplifies through the
+        # softmax-KLD ILD and the spectral-norm discriminator chain —
+        # measured 1.8e-3 (loss_disc) to 2.8e-3 (loss_ild) varying with
+        # the XLA CPU compile. Exactness is proven to 1e-12 in the fp64
+        # test above; this tolerance is sized for the float noise.
+        assert abs(a - b) <= 1e-2 * max(1.0, abs(a)), (k, a, b)
 
 
 @pytest.mark.smoke
